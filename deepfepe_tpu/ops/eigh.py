@@ -1,0 +1,100 @@
+"""Batched symmetric eigendecomposition with degenerate-safe gradients.
+
+This is the TPU-native replacement for the reference's per-item `torch.svd`
+loops (models/DeepFNet.py:219-240, dsac_tools/utils_F.py:132-240) and the CUDA
+`torch-batch-svd` extension (models/DeepFNetSampleLoss.py:27). The weighted
+8-point solve only ever needs the smallest right singular vector of the
+constraint matrix X [N, 9]; we obtain it as the smallest eigenvector of the
+9x9 Gram matrix G = XᵀX, which keeps the whole batch on-chip as one fused
+einsum + small batched eigh instead of B serialized SVDs (the reference's
+dominant hot loop, SURVEY.md §3.3).
+
+`torch.svd`'s backward blows up when singular values are nearly degenerate —
+the very reason the reference ships a NaN scrubber and a CPU fallback
+(models/model_utils.py:5, DeepFNet.py:219-230). Here `safe_eigh` defines a
+custom VJP with Lorentzian-broadened gap reciprocals
+    F_ij = (λ_j - λ_i) / ((λ_j - λ_i)² + eps),
+which equals the exact eigh VJP for well-separated spectra and degrades
+gracefully (bounded) at degeneracies instead of producing NaN/Inf.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+DEFAULT_GAP_EPS = 1e-10
+
+
+def _fix_eigvec_signs(V: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic sign: the largest-|.| component of each column is >= 0.
+
+    Removes the eigenvector sign ambiguity so downstream features (the solver
+    recurrence feeds the algebraic residual X·f back into the weight MLP) see
+    a stable sign across steps. Gradient of the selection is zero (±1 const).
+    """
+    idx = jnp.argmax(jnp.abs(V), axis=-2, keepdims=True)  # [..., 1, k]
+    pivot = jnp.take_along_axis(V, idx, axis=-2)  # [..., 1, k]
+    sign = jnp.where(pivot < 0, -1.0, 1.0)
+    return V * sign
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def safe_eigh(A: jnp.ndarray, gap_eps: float = DEFAULT_GAP_EPS):
+    """Eigendecomposition of symmetric [..., n, n]: returns (w, V), ascending.
+
+    Forward is XLA's `eigh`; backward is the standard eigh VJP with clamped
+    spectral-gap denominators (see module docstring). `A` is symmetrized
+    before the solve so tiny asymmetries from upstream matmuls cannot leak in.
+    """
+    A = (A + jnp.swapaxes(A, -1, -2)) * 0.5
+    w, V = jnp.linalg.eigh(A)
+    return w, _fix_eigvec_signs(V)
+
+
+def _safe_eigh_fwd(A, gap_eps):
+    w, V = safe_eigh(A, gap_eps)
+    return (w, V), (w, V)
+
+
+def _safe_eigh_bwd(gap_eps, res, cotangents):
+    w, V = res
+    dw, dV = cotangents
+    Vt = jnp.swapaxes(V, -1, -2)
+    # Gap matrix with Lorentzian broadening; exactly 0 on the diagonal.
+    gaps = w[..., None, :] - w[..., :, None]  # [..., i, j] = λ_j - λ_i
+    Fmat = gaps / (gaps**2 + gap_eps)
+    inner = Fmat * (Vt @ dV)
+    dA = V @ (jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(dw) + inner) @ Vt
+    dA = (dA + jnp.swapaxes(dA, -1, -2)) * 0.5
+    return (dA,)
+
+
+safe_eigh.defvjp(_safe_eigh_fwd, _safe_eigh_bwd)
+
+
+def smallest_eigvec(A: jnp.ndarray, gap_eps: float = DEFAULT_GAP_EPS):
+    """Smallest eigenpair of symmetric [..., n, n] -> (λ_min [...], v [..., n])."""
+    w, V = safe_eigh(A, gap_eps)
+    return w[..., 0], V[..., :, 0]
+
+
+def smallest_singular_vec_gram(
+    X: jnp.ndarray, gap_eps: float = DEFAULT_GAP_EPS
+) -> jnp.ndarray:
+    """Smallest right singular vector of [..., N, k] via the kxk Gram matrix.
+
+    One batched MXU einsum (XᵀX) + a tiny batched eigh — the speed-of-light
+    formulation of the 8-point null-space solve on TPU.
+    """
+    # Accumulate in (at least) f32 on the MXU; keep f64 when the caller runs
+    # the high-precision eval path.
+    acc = jnp.promote_types(X.dtype, jnp.float32)
+    G = jnp.einsum(
+        "...ni,...nj->...ij", X, X, preferred_element_type=acc
+    ).astype(X.dtype)
+    _, v = smallest_eigvec(G, gap_eps)
+    return v
