@@ -1,0 +1,184 @@
+"""DeepFNet — the iterative weighted 8-point network (flax, fully batched).
+
+TPU-native re-design of the reference top-level model
+(`models/DeepFNet.py:299-554`, reviewed in SURVEY.md §2.3/§3.3):
+
+  weight_in = [(pts1+1)/2, (pts2+1)/2 (, quality)]        (get_input :359)
+  logits    = input_weights(weight_in);  w = softmax_N     (:441-443)
+  repeat depth-1 times:                                    (:464-527)
+      F_l, residual = weighted_eight_point(pts1, pts2, w)  (Fit :123-296)
+      epi_res       = compute_epi_residual(pts1, pts2, F_l)
+      net_in        = [weight_in, w, epi_res, residual]
+      (optional)    offsets = update_offsets(net_in); re-derive pts/weight_in
+      logits        = update_weights(net_in); w = softmax_N
+  final fit                                                (:530)
+
+Differences from the reference are purely architectural, not semantic:
+- the per-item CPU/GPU `torch.svd` loop becomes one batched Gram-eigh
+  (`ops.weighted_eight_point`) — no host round trips, no NaN scrubbing
+  needed (degenerate-safe custom VJP);
+- the non-differentiable cv2 triangulation of `if_tri_depth`
+  (DeepFNet.get_depth :406-427) becomes the closed-form differentiable
+  `geometry.two_view_depths` after a batched `recover_pose`;
+- layer outputs are stacked arrays [depth, B, ...] instead of Python lists.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..geometry.decompose import recover_pose, two_view_depths
+from ..geometry.epipolar import F_to_E, compute_epi_residual, normalize_hw
+from ..ops.fmatrix import weighted_eight_point
+from .error_estimator import ErrorEstimator
+
+
+class DeepFNet(nn.Module):
+    """Iterative weighted 8-point solver network.
+
+    Input `data_batch` dict keys (mirrors Train_model_pipeline.py:433-446):
+      - 'matches_xy_ori': [B, N, 4] pixel-coordinate correspondences
+      - 'quality':        [B, N, 1] (required iff if_quality)
+      - 'Ks':             [B, 3, 3] (required iff if_tri_depth)
+      - 't_scene_scale':  [B, 1] or scalar (iff if_tri_depth)
+      - 'weights_im':     [B, N] per-point image weights (iff if_img_w)
+      - 'des':            [B, N, D] fused descriptors (iff if_des)
+
+    Returns a dict of stacked per-layer tensors (see forward).
+    """
+
+    depth: int = 5
+    image_size: tuple = (376, 1241)  # (H, W)
+    if_quality: bool = False
+    quality_size: int = 1
+    if_learn_offsets: bool = False
+    if_img_w: bool = False
+    if_des: bool = False
+    des_size: int = 0
+    if_tri_depth: bool = False
+    depth_clamp: float = 200.0
+    feature_clamp_at: float = 0.5  # epi-residual clamp inside the recurrence
+    normalize_svd: bool = True
+
+    def setup(self):
+        q = self.quality_size if self.if_quality else 0
+        d = self.des_size if self.if_des else 0
+        tri = 1 if self.if_tri_depth else 0
+        self.input_weights = ErrorEstimator(output_size=1)
+        # +3 for [weights, epi_res, residual] (+1 tri depth), DeepFNet.py:341.
+        self.update_weights = ErrorEstimator(output_size=1)
+        self._in_ch = 4 + q + d
+        self._update_ch = 4 + q + d + 3 + tri
+        if self.if_learn_offsets:
+            self.update_offsets = ErrorEstimator(output_size=4, if_bn=False)
+
+    def _get_input(self, data_batch, offsets=None):
+        pts = data_batch["matches_xy_ori"]  # [B, N, 4]
+        if offsets is not None:
+            pts = pts + offsets
+        pts1_h, T1 = normalize_hw(pts[..., :2], self.image_size)
+        pts2_h, T2 = normalize_hw(pts[..., 2:4], self.image_size)
+        feats = [(pts1_h[..., :2] + 1.0) / 2.0, (pts2_h[..., :2] + 1.0) / 2.0]
+        if self.if_quality:
+            feats.append(data_batch["quality"])
+        if self.if_des:
+            feats.append(data_batch["des"])
+        weight_in = jnp.concatenate(feats, axis=-1)  # [B, N, C]
+        return weight_in, pts1_h, pts2_h, T1, T2
+
+    def _tri_depth_feature(self, data_batch, F_out, T1, T2):
+        """Differentiable replacement of DeepFNet.get_depth :406-427."""
+        Ks = data_batch["Ks"]
+        F_pix = jnp.swapaxes(T2, -1, -2) @ F_out @ T1
+        E = F_to_E(F_pix, Ks)
+        pts = data_batch["matches_xy_ori"]
+        K_inv = jnp.linalg.inv(Ks)
+        to_norm = lambda x: jnp.concatenate(
+            [x, jnp.ones(x.shape[:-1] + (1,), x.dtype)], -1
+        ) @ jnp.swapaxes(K_inv, -1, -2)
+        x1n = to_norm(pts[..., :2])
+        x2n = to_norm(pts[..., 2:4])
+        rec = recover_pose(E, x1n, x2n)
+        z1, _ = two_view_depths(rec.R, rec.t, x1n, x2n)
+        scale = jnp.reshape(data_batch["t_scene_scale"], (-1, 1))  # [B, 1]
+        depths = jnp.clip(z1 * scale, -self.depth_clamp, self.depth_clamp)
+        return depths[..., None]  # [B, N, 1]
+
+    def __call__(self, data_batch: Dict[str, Any]) -> Dict[str, Any]:
+        weight_in, pts1, pts2, T1, T2 = self._get_input(data_batch)
+
+        logits = self.input_weights(weight_in)[..., 0]  # [B, N]
+        weights = nn.softmax(logits, axis=-1)
+        if self.if_img_w:
+            weights = weights * data_batch["weights_im"]
+
+        out_layers, residual_layers = [], []
+        epi_res_layers, weights_layers, logits_layers = [], [weights], [logits]
+        offsets_accu = None
+        tri_depths = None
+
+        for _ in range(self.depth - 1):
+            fit = weighted_eight_point(
+                pts1, pts2, weights, normalize_svd=self.normalize_svd
+            )
+            out_layers.append(fit.F)
+            residual_layers.append(fit.residual)
+            epi_res = compute_epi_residual(
+                pts1, pts2, fit.F, clamp_at=self.feature_clamp_at
+            )
+            epi_res_layers.append(epi_res)
+
+            if self.if_tri_depth:
+                tri_depths = self._tri_depth_feature(data_batch, fit.F, T1, T2)
+
+            def make_net_in(w_in):
+                parts = [w_in, weights[..., None], epi_res[..., None],
+                         fit.residual[..., None]]
+                if self.if_tri_depth:
+                    parts.append(tri_depths)
+                return jnp.concatenate(parts, axis=-1)
+
+            net_in = make_net_in(weight_in)
+
+            if self.if_learn_offsets:
+                offsets_accu = self.update_offsets(net_in)
+                weight_in, pts1, pts2, T1, T2 = self._get_input(
+                    data_batch, offsets_accu
+                )
+                net_in = make_net_in(weight_in)
+
+            logits = self.update_weights(net_in)[..., 0]
+            weights = nn.softmax(logits, axis=-1)
+            if self.if_img_w:
+                weights = weights * data_batch["weights_im"]
+            weights_layers.append(weights)
+            logits_layers.append(logits)
+
+        fit = weighted_eight_point(
+            pts1, pts2, weights, normalize_svd=self.normalize_svd
+        )
+        out_layers.append(fit.F)
+        residual_layers.append(fit.residual)
+
+        preds = {
+            "logits": logits,                               # [B, N]
+            "logits_layers": jnp.stack(logits_layers),      # [depth, B, N]
+            "F_est": fit.F,                                 # [B, 3, 3]
+            "T1": T1,
+            "T2": T2,
+            "out_layers": jnp.stack(out_layers),            # [depth, B, 3, 3]
+            "epi_res_layers": jnp.stack(epi_res_layers),    # [depth-1, B, N]
+            "residual_layers": jnp.stack(residual_layers),  # [depth, B, N]
+            "weights_layers": jnp.stack(weights_layers),    # [depth, B, N]
+            "pts1": pts1,
+            "pts2": pts2,
+            "weights": weights,
+        }
+        if self.if_learn_offsets:
+            preds["offsets"] = offsets_accu
+        if self.if_tri_depth:
+            preds["tri_depths"] = tri_depths
+        return preds

@@ -1,0 +1,142 @@
+"""PointNet-style per-correspondence weight networks (flax).
+
+Capability parity with the reference `models/ErrorEstimators.py`:
+- `ErrorEstimator`            :14  — 1x1 Conv1d MLP in→64→128→1024→512→256→out
+                                     with InstanceNorm(affine)+LeakyReLU
+                                     (optional BatchNorm variant)
+- `ErrorEstimatorFeatFusion`  :118 — points+descriptor early-fusion variant
+- `ErrorEstimatorFeatFusion2Head` :171 — two-stem late-fusion variant
+- `models/GoodCorresNet.py`   :35  — legacy global-context PointNet arch
+
+Layout is TPU-native [B, N, C] (points on sublanes, channels on lanes): a 1x1
+Conv1d over points is exactly a Dense over the channel axis, which XLA maps
+straight onto the MXU as an [B*N, C_in] x [C_in, C_out] matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class InstanceNorm1d(nn.Module):
+    """torch nn.InstanceNorm1d(C, affine=True) on [B, N, C] tensors.
+
+    Normalizes over the point axis N per (batch, channel) with biased
+    variance and eps=1e-5 (torch defaults).
+    """
+
+    features: int
+    affine: bool = True
+    eps: float = 1e-5
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=-2, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-2, keepdims=True)
+        y = (x - mean) / jnp.sqrt(var + self.eps)
+        if self.affine:
+            gamma = self.param(
+                "scale", nn.initializers.ones, (self.features,), self.param_dtype
+            )
+            beta = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y * gamma + beta
+        return y
+
+
+class ErrorEstimator(nn.Module):
+    """The weight MLP (ref: ErrorEstimators.py:14-69).
+
+    [B, N, C_in] -> [B, N, output_size] logits.
+    """
+
+    output_size: int = 1
+    features: Sequence[int] = (64, 128, 1024, 512, 256)
+    if_bn: bool = False
+    negative_slope: float = 0.01  # torch LeakyReLU default
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for f in self.features:
+            x = nn.Dense(f, use_bias=True)(x)
+            if self.if_bn:
+                x = nn.BatchNorm(use_running_average=not train, axis=-1)(x)
+            x = InstanceNorm1d(f)(x)
+            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+        # Final projection: bias matches the reference (bias=False only in the
+        # BatchNorm variant, ErrorEstimators.py:46 vs :66).
+        x = nn.Dense(self.output_size, use_bias=not self.if_bn)(x)
+        return x
+
+
+class ErrorEstimatorFeatFusion(nn.Module):
+    """Early points+descriptor fusion variant (ref: ErrorEstimators.py:118)."""
+
+    output_size: int = 1
+    features: Sequence[int] = (64, 128, 1024, 512, 256)
+
+    @nn.compact
+    def __call__(self, pts_in: jnp.ndarray, des_in: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([pts_in, des_in], axis=-1)
+        for f in self.features:
+            x = nn.Dense(f, use_bias=True)(x)
+            x = InstanceNorm1d(f)(x)
+            x = nn.relu(x)
+        return nn.Dense(self.output_size, use_bias=True)(x)
+
+
+class ErrorEstimatorFeatFusion2Head(nn.Module):
+    """Two-stem late-fusion variant (ref: ErrorEstimators.py:171-236)."""
+
+    output_size: int = 1
+
+    @nn.compact
+    def __call__(self, pts_in: jnp.ndarray, des_in: jnp.ndarray) -> jnp.ndarray:
+        x = pts_in
+        for f in (64, 128, 1024):
+            x = nn.Dense(f, use_bias=True)(x)
+            x = InstanceNorm1d(f)(x)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        y = des_in
+        for f in (64, 128, 1024):
+            y = nn.Dense(f, use_bias=True)(y)
+            y = nn.leaky_relu(y, negative_slope=0.01)
+        z = jnp.concatenate([x, y], axis=-1)
+        z = nn.Dense(512, use_bias=True)(z)
+        z = InstanceNorm1d(512)(z)
+        z = nn.leaky_relu(z, negative_slope=0.01)
+        z = nn.Dense(256, use_bias=True)(z)
+        z = InstanceNorm1d(256)(z)
+        z = nn.leaky_relu(z, negative_slope=0.01)
+        return nn.Dense(self.output_size, use_bias=True)(z)
+
+
+class GoodCorresNet(nn.Module):
+    """Legacy 'learning to find good correspondences' arch (ref:
+    models/GoodCorresNet.py:35-163): local MLP stem + global max-pool context
+    concatenated back per point + segmentation head.
+    """
+
+    output_size: int = 1
+    bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Local stem.
+        for f in (64, 128, 1024):
+            x = nn.Dense(f, use_bias=True)(x)
+            x = InstanceNorm1d(f)(x)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        # Global context: max over points, broadcast back.
+        g = jnp.max(x, axis=-2, keepdims=True)
+        x = jnp.concatenate([x, jnp.broadcast_to(g, x.shape)], axis=-1)
+        for f in (512, 256):
+            x = nn.Dense(f, use_bias=True)(x)
+            x = InstanceNorm1d(f)(x)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        return nn.Dense(self.output_size, use_bias=True)(x)

@@ -1,0 +1,14 @@
+"""Mesh + sharding utilities for data/model-parallel training."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_hybrid_mesh,
+    make_mesh,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [k for k in dir() if not k.startswith("_")]

@@ -1,0 +1,150 @@
+"""Typed configuration mirroring the reference YAML schema.
+
+The reference drives everything from ad-hoc YAML dicts
+(`configs/kitti_corr_baseline.yaml`, loaded in train_good.py:392 and accessed
+with `.get()` fallbacks everywhere — SURVEY.md §5.6). Here the same knob set
+is a typed dataclass tree with identical defaults, loadable from the same
+YAML layout (`data:/model:/exps:/training:` sections), so reference configs
+port over directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "synthetic"
+    dump_root: str = ""
+    sequence_length: int = 2
+    delta_ij: int = 1
+    batch_size: int = 4
+    good_num: int = 1000
+    image_size: Tuple[int, int] = (376, 1241)  # (H, W)
+    resize: Optional[Tuple[int, int]] = (376, 1240)
+    with_quality: bool = True
+    with_pose: bool = True
+    # synthetic-only knobs
+    noise_px: float = 0.5
+    outlier_frac: float = 0.15
+
+
+@dataclass
+class ModelConfig:
+    name: str = "DeepFNet"
+    depth: int = 5
+    clamp_at: float = 0.02
+    if_quality: bool = False
+    quality_size: int = 1
+    if_img_w: bool = False
+    if_goodCorresArch: bool = False
+    if_learn_offsets: bool = False
+    if_tri_depth: bool = False
+    if_qt_loss: bool = False
+    if_sample_loss: bool = False
+    if_des: bool = False
+    des_size: int = 0
+    if_SP: bool = False
+    balance_q: float = 1.0
+    balance_t: float = 0.1
+    balance_F: float = 100.0
+
+
+@dataclass
+class ExpsConfig:
+    five_point: bool = False
+    base_name: str = "opencv_8p"
+    our_name: str = "DeepF"
+    filename: str = "err_ratio.npz"
+
+
+@dataclass
+class TrainingConfig:
+    learning_rate: float = 1e-4
+    lr_decay_step: int = 10
+    lr_decay_rate: float = 1.0
+    train_iter: int = 100_000
+    val_interval: int = 200
+    val_batches: int = 10
+    save_interval: int = 200
+    seed: int = 0
+    reproduce: bool = False
+    retrain: bool = True
+    train: bool = True
+    pretrained: str = ""
+    # qt-loss clamp curriculum (Train_model_pipeline.py:467-489)
+    clamp_iter1: int = 3000
+    clamp_iter2: int = 6000
+    clamp_q_params: Sequence[float] = (0.1, 0.01, 0.001)
+    clamp_t_params: Sequence[float] = (0.5, 0.3, 0.1)
+    # skip-optimizer quirk (Train_model_pipeline.py:598-639)
+    skip_optimizer_enable: bool = False
+    skip_optimizer_epi_min: float = 0.001
+
+
+@dataclass
+class Config:
+    name: str = "kitti_odo_good_corr"
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    exps: ExpsConfig = field(default_factory=ExpsConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+
+
+def _filter_kwargs(cls, d: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+def config_from_dict(raw: dict) -> Config:
+    """Build a Config from a reference-layout YAML dict (lenient)."""
+    data_raw = dict(raw.get("data", {}))
+    if "image" in data_raw and isinstance(data_raw["image"], dict):
+        size = data_raw["image"].get("size")
+        if size:
+            data_raw["image_size"] = tuple(size[:2])
+    if "preprocessing" in data_raw and isinstance(data_raw["preprocessing"], dict):
+        rs = data_raw["preprocessing"].get("resize")
+        if rs:
+            data_raw["resize"] = tuple(rs[:2])
+    rw = data_raw.get("read_what", {})
+    if isinstance(rw, dict):
+        data_raw.setdefault("with_quality", rw.get("with_quality", True))
+        data_raw.setdefault("with_pose", rw.get("with_pose", True))
+
+    train_raw = dict(raw.get("training", {}))
+    skip = train_raw.get("skip_optimizer")
+    if isinstance(skip, dict):
+        train_raw["skip_optimizer_enable"] = skip.get("enable", False)
+        train_raw["skip_optimizer_epi_min"] = skip.get("params", {}).get(
+            "epi_min", 0.001
+        )
+
+    return Config(
+        name=raw.get("name", "exp"),
+        data=DataConfig(**_filter_kwargs(DataConfig, data_raw)),
+        model=ModelConfig(**_filter_kwargs(ModelConfig, dict(raw.get("model", {})))),
+        exps=ExpsConfig(**_filter_kwargs(ExpsConfig, dict(raw.get("exps", {})))),
+        training=TrainingConfig(**_filter_kwargs(TrainingConfig, train_raw)),
+    )
+
+
+def load_config(path: str) -> Config:
+    import yaml
+
+    with open(path) as f:
+        return config_from_dict(yaml.safe_load(f))
+
+
+def qt_clamps(cfg: TrainingConfig, n_iter: int) -> Tuple[float, float]:
+    """The qt-loss clamp curriculum (Train_model_pipeline.py:475-489)."""
+    if n_iter < cfg.clamp_iter1:
+        i = 0
+    elif n_iter < cfg.clamp_iter2:
+        i = 1
+    else:
+        i = 2
+    return float(cfg.clamp_q_params[i]), float(cfg.clamp_t_params[i])

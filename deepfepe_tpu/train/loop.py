@@ -1,0 +1,167 @@
+"""The outer training loop: epochs, validation cadence, checkpointing, logs.
+
+Port of `Train_model_pipeline.train_epoch` (:163-305) and the checkpoint
+machinery (`save_model` :56, `pretrainedLoader_net/opt`, loader.py:196-229 —
+SURVEY.md §5.4): periodic validation over the val stream, periodic
+checkpoints keyed by n_iter, JSONL metric logging (the reference's
+TensorBoard scalars), resume from a saved state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..parallel.mesh import make_mesh, shard_batch, shard_params
+from .config import Config, qt_clamps
+from .engine import TrainState, make_eval_step, make_optimizer, make_train_step
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+
+
+def load_checkpoint(path: str, state_template: TrainState) -> TrainState:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(state_template, f.read())
+
+
+class MetricLogger:
+    """JSONL metric sink (stands in for the reference's tensorboardX)."""
+
+    def __init__(self, path: Optional[str] = None, echo_every: int = 50):
+        self.path = path
+        self.echo_every = echo_every
+        self._f = None
+        if path:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            self._f = open(path, "a")
+
+    def log(self, n_iter: int, tag: str, metrics: Dict) -> None:
+        scalars = {
+            k: float(np.asarray(v))
+            for k, v in metrics.items()
+            if np.ndim(v) == 0
+        }
+        rec = {"iter": n_iter, "tag": tag, **scalars}
+        if self._f:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+        if n_iter % self.echo_every == 0:
+            brief = {k: round(v, 6) for k, v in scalars.items()}
+            print(f"[{tag}] iter={n_iter} {brief}", flush=True)
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+class Trainer:
+    """Single- or multi-device trainer for the DeepFNet pipeline."""
+
+    def __init__(
+        self,
+        net,
+        cfg: Config,
+        save_dir: Optional[str] = None,
+        mesh=None,
+        rng_seed: int = 0,
+    ):
+        self.net = net
+        self.cfg = cfg
+        self.save_dir = save_dir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.tx = make_optimizer(cfg)
+        self.train_step = make_train_step(net, self.tx, cfg)
+        self.eval_step = make_eval_step(net, cfg)
+        self.logger = MetricLogger(
+            os.path.join(save_dir, "metrics.jsonl") if save_dir else None
+        )
+        self.rng_seed = rng_seed
+        self.state: Optional[TrainState] = None
+
+    def init_state(self, example_batch: Dict) -> TrainState:
+        batch = shard_batch(self.mesh, example_batch)
+        params = self.net.init(jax.random.PRNGKey(self.rng_seed), batch)
+        state = TrainState.create(params, self.tx)
+        self.state = shard_params(self.mesh, state)
+        return self.state
+
+    def restore(self, path: str, example_batch: Dict) -> TrainState:
+        template = self.init_state(example_batch)
+        self.state = shard_params(self.mesh, load_checkpoint(path, template))
+        return self.state
+
+    @property
+    def n_iter(self) -> int:
+        return int(self.state.n_iter)
+
+    def fit(
+        self,
+        train_stream: Iterable[Dict],
+        val_stream_fn: Optional[Callable[[], Iterable[Dict]]] = None,
+        max_iters: Optional[int] = None,
+    ) -> Dict:
+        cfg = self.cfg
+        max_iters = max_iters or cfg.training.train_iter
+        t0 = time.time()
+        last = {}
+        for batch in train_stream:
+            if self.state is None:
+                self.init_state(batch)
+            n_iter = self.n_iter
+            if n_iter >= max_iters:
+                break
+            q_clamp, t_clamp = qt_clamps(cfg.training, n_iter)
+            sharded = shard_batch(self.mesh, batch)
+            self.state, metrics = self.train_step(
+                self.state, sharded, q_clamp, t_clamp
+            )
+            self.logger.log(n_iter, "train", metrics)
+            last = metrics
+
+            if (
+                val_stream_fn is not None
+                and cfg.training.val_interval > 0
+                and (n_iter + 1) % cfg.training.val_interval == 0
+            ):
+                self.validate(val_stream_fn())
+            if (
+                self.save_dir
+                and cfg.training.save_interval > 0
+                and (n_iter + 1) % cfg.training.save_interval == 0
+            ):
+                self.save(n_iter + 1)
+        last["wall_s"] = time.time() - t0
+        return last
+
+    def validate(self, val_stream: Iterable[Dict]) -> Dict:
+        accum, count = {}, 0
+        limit = self.cfg.training.val_batches
+        for i, batch in enumerate(val_stream):
+            if limit >= 0 and i >= limit:
+                break
+            metrics = self.eval_step(self.state.params, shard_batch(self.mesh, batch))
+            for k, v in metrics.items():
+                if np.ndim(v) == 0:
+                    accum[k] = accum.get(k, 0.0) + float(np.asarray(v))
+            count += 1
+        means = {k: v / max(count, 1) for k, v in accum.items()}
+        self.logger.log(self.n_iter, "val", means)
+        return means
+
+    def save(self, n_iter: int) -> str:
+        path = os.path.join(
+            self.save_dir, "checkpoints", f"deepFNet_{n_iter}_checkpoint.msgpack"
+        )
+        save_checkpoint(path, self.state)
+        return path
