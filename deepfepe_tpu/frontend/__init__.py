@@ -1,0 +1,15 @@
+"""SuperPoint-style frontend: CNN, NMS, soft-argmax, matching, pipeline."""
+
+from .matching import Matches, descriptor_distance, gather_matches, mutual_nn_match
+from .pipeline import FrontendParams, get_matches_from_sp, run_superpoint
+from .process import (
+    Keypoints,
+    extract_keypoints,
+    nms_heatmap,
+    sample_descriptors,
+    soft_argmax_refine,
+    topk_keypoints,
+)
+from .superpoint import SuperPointNet, flatten_detection
+
+__all__ = [k for k in dir() if not k.startswith("_")]

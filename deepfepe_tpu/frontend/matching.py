@@ -1,0 +1,93 @@
+"""Mutual nearest-neighbor descriptor matching (batched, static-shape).
+
+TPU-native replacement for `PointTracker.nn_match_two_way` (the reference's
+per-item numpy loop — train_good_utils.py:685-713, a device→host→device
+round trip on the training path). The [K, K] descriptor distance matrix is
+one MXU matmul; mutual-NN selection and thresholding are vectorized; output
+is a static-shape match list padded to `num_matches` with a validity mask
+(the reference's crop_or_pad on matches).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Matches(NamedTuple):
+    idx1: jnp.ndarray    # [B, M] indices into keypoint set 1
+    idx2: jnp.ndarray    # [B, M] indices into keypoint set 2
+    scores: jnp.ndarray  # [B, M] descriptor distance of the match
+    valid: jnp.ndarray   # [B, M] bool
+
+
+def descriptor_distance(
+    desc1: jnp.ndarray, desc2: jnp.ndarray
+) -> jnp.ndarray:
+    """Pairwise L2 distance of unit descriptors: sqrt(2 - 2 d1·d2).
+
+    Matches SuperPoint's PointTracker metric. desc: [..., K, D].
+    """
+    dot = jnp.einsum(
+        "...id,...jd->...ij", desc1, desc2, preferred_element_type=jnp.float32
+    ).astype(desc1.dtype)
+    return jnp.sqrt(jnp.clip(2.0 - 2.0 * dot, min=0.0))
+
+
+def mutual_nn_match(
+    desc1: jnp.ndarray,   # [B, K, D]
+    desc2: jnp.ndarray,   # [B, K, D]
+    valid1: jnp.ndarray,  # [B, K] bool
+    valid2: jnp.ndarray,  # [B, K] bool
+    nn_thresh: float = 1.0,
+    num_matches: int | None = None,
+) -> Matches:
+    """Two-way mutual NN matching with a distance threshold.
+
+    Keeps (i, j) iff j = argmin_j d(i, j), i = argmin_i d(i, j), and
+    d < nn_thresh — exactly nn_match_two_way's rule. Invalid (padded)
+    keypoints are excluded. Matches are sorted best-first and padded to
+    `num_matches` (default K).
+    """
+    B, K, _ = desc1.shape
+    num_matches = num_matches or K
+    d = descriptor_distance(desc1, desc2)  # [B, K, K]
+    big = jnp.asarray(1e9, d.dtype)
+    d = jnp.where(valid1[..., :, None] & valid2[..., None, :], d, big)
+
+    nn12 = jnp.argmin(d, axis=-1)  # [B, K] best j for each i
+    nn21 = jnp.argmin(d, axis=-2)  # [B, K] best i for each j
+    i_idx = jnp.arange(K)
+    mutual = jnp.take_along_axis(nn21, nn12, axis=-1) == i_idx[None, :]
+    dist_i = jnp.take_along_axis(d, nn12[..., None], axis=-1)[..., 0]
+    keep = mutual & (dist_i < nn_thresh) & valid1
+
+    # Sort matches best-first; pad to num_matches.
+    sort_key = jnp.where(keep, dist_i, big)
+    order = jnp.argsort(sort_key, axis=-1)[..., :num_matches]
+    idx1 = order
+    idx2 = jnp.take_along_axis(nn12, order, axis=-1)
+    scores = jnp.take_along_axis(dist_i, order, axis=-1)
+    valid = jnp.take_along_axis(keep, order, axis=-1)
+    idx1 = jnp.where(valid, idx1, 0)
+    idx2 = jnp.where(valid, idx2, 0)
+    scores = jnp.where(valid, scores, 0.0)
+    return Matches(idx1=idx1, idx2=idx2, scores=scores, valid=valid)
+
+
+def gather_matches(
+    kpts_xy1: jnp.ndarray,  # [B, K, 2] positions (xs + offsets) image 1
+    kpts_xy2: jnp.ndarray,  # [B, K, 2] image 2
+    matches: Matches,
+) -> jnp.ndarray:
+    """Assemble [B, M, 4] correspondence tensors from match indices.
+
+    Gradient flows through the gathered positions into the soft-argmax
+    offsets (the end-to-end path, Train_model_pipeline.py:375-384).
+    """
+    p1 = jnp.take_along_axis(kpts_xy1, matches.idx1[..., None], axis=-2)
+    p2 = jnp.take_along_axis(kpts_xy2, matches.idx2[..., None], axis=-2)
+    out = jnp.concatenate([p1, p2], axis=-1)
+    return jnp.where(matches.valid[..., None], out, 0.0)

@@ -1,0 +1,88 @@
+"""End-to-end frontend: images -> correspondences (the SP gradient path).
+
+Port of `get_matches_from_SP` (train_good_utils.py:649-756): run SuperPoint
+on both grayscale frames, post-process to keypoints + differentiable
+subpixel offsets + sparse descriptors, mutual-NN match, and emit the
+[B, N, 4] correspondence tensor `xs + offsets` whose offset component keeps
+the solver loss differentiable w.r.t. the SuperPoint weights
+(Train_model_pipeline.py:375-384). Fully on-device, jit-able, static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from .matching import Matches, gather_matches, mutual_nn_match
+from .process import Keypoints, extract_keypoints
+from .superpoint import SuperPointNet, flatten_detection
+
+
+class FrontendParams:
+    """The reference SP_params knob set (configs/*:SP_params)."""
+
+    def __init__(
+        self,
+        out_num_points: int = 1000,
+        patch_size: int = 5,
+        nms_dist: int = 4,
+        conf_thresh: float = 0.015,
+        nn_thresh: float = 1.0,
+    ):
+        self.out_num_points = out_num_points
+        self.patch_size = patch_size
+        self.nms_dist = nms_dist
+        self.conf_thresh = conf_thresh
+        self.nn_thresh = nn_thresh
+
+
+def run_superpoint(
+    net: SuperPointNet, params, images: jnp.ndarray, fp: FrontendParams
+) -> Keypoints:
+    """images: [B, H, W] grayscale in [0,1] -> Keypoints with descriptors."""
+    outs = net.apply(params, images[..., None])
+    heatmap = flatten_detection(outs["semi"])
+    return extract_keypoints(
+        heatmap,
+        outs["desc"],
+        out_num_points=fp.out_num_points,
+        nms_dist=fp.nms_dist,
+        conf_thresh=fp.conf_thresh,
+        patch_size=fp.patch_size,
+    )
+
+
+def get_matches_from_sp(
+    net: SuperPointNet,
+    params,
+    imgs_grey: Tuple[jnp.ndarray, jnp.ndarray],
+    fp: FrontendParams,
+) -> Dict[str, jnp.ndarray]:
+    """Two frames -> correspondence dict for the solver data_batch.
+
+    Returns {'matches_xy_ori' [B,N,4], 'quality' [B,N,1], 'valid' [B,N],
+    'kpts1', 'kpts2', 'matches'}.
+    """
+    k1 = run_superpoint(net, params, imgs_grey[0], fp)
+    k2 = run_superpoint(net, params, imgs_grey[1], fp)
+    m = mutual_nn_match(
+        k1.desc, k2.desc, k1.valid, k2.valid,
+        nn_thresh=fp.nn_thresh, num_matches=fp.out_num_points,
+    )
+    xy1 = k1.xy + k1.offsets
+    xy2 = k2.xy + k2.offsets
+    matches_xy = gather_matches(xy1, xy2, m)
+    # Match quality: 1 - d/nn_thresh in (0, 1], zero for padded entries
+    # (stands in for the SIFT ratio-derived quality column).
+    quality = jnp.where(
+        m.valid, 1.0 - m.scores / fp.nn_thresh, 0.0
+    )[..., None]
+    return {
+        "matches_xy_ori": matches_xy,
+        "quality": quality,
+        "valid": m.valid,
+        "kpts1": k1,
+        "kpts2": k2,
+        "matches": m,
+    }

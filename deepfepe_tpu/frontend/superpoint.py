@@ -1,0 +1,69 @@
+"""SuperPoint detector/descriptor CNN (flax, NHWC, TPU-native).
+
+Re-implementation of the external frontend the reference pip-installs
+(`pytorch-superpoint` branch module_20200707 — SURVEY.md §2.2):
+`SuperPointNet_gauss2`: a VGG-style shared encoder, a detector head
+producing `semi` (64 cells + dustbin per 8x8 block) and a descriptor head
+producing dense 256-d descriptors at 1/8 resolution. Consumed surface per
+train_good.py:198-237 / train_good_utils.py:727-756.
+
+Layout is NHWC (TPU-native conv layout); `semi` is [B, H/8, W/8, 65] and
+`desc` is [B, H/8, W/8, 256].
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class SuperPointNet(nn.Module):
+    """VGG-style SuperPoint with detector + descriptor heads."""
+
+    det_h: int = 65
+    desc_dim: int = 256
+    channels: tuple = (64, 64, 64, 64, 128, 128, 128, 128)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> dict:
+        """x: [B, H, W, 1] grayscale in [0, 1] -> {'semi', 'desc'}."""
+        c = self.channels
+        relu = nn.relu
+        pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))
+
+        y = relu(nn.Conv(c[0], (3, 3), padding="SAME", name="conv1a")(x))
+        y = relu(nn.Conv(c[1], (3, 3), padding="SAME", name="conv1b")(y))
+        y = pool(y)
+        y = relu(nn.Conv(c[2], (3, 3), padding="SAME", name="conv2a")(y))
+        y = relu(nn.Conv(c[3], (3, 3), padding="SAME", name="conv2b")(y))
+        y = pool(y)
+        y = relu(nn.Conv(c[4], (3, 3), padding="SAME", name="conv3a")(y))
+        y = relu(nn.Conv(c[5], (3, 3), padding="SAME", name="conv3b")(y))
+        y = pool(y)
+        y = relu(nn.Conv(c[6], (3, 3), padding="SAME", name="conv4a")(y))
+        y = relu(nn.Conv(c[7], (3, 3), padding="SAME", name="conv4b")(y))
+
+        # Detector head: 65 = 64 cell positions + dustbin.
+        d = relu(nn.Conv(256, (3, 3), padding="SAME", name="convPa")(y))
+        semi = nn.Conv(self.det_h, (1, 1), name="convPb")(d)
+
+        # Descriptor head: dense 256-d at 1/8 resolution.
+        e = relu(nn.Conv(256, (3, 3), padding="SAME", name="convDa")(y))
+        desc = nn.Conv(self.desc_dim, (1, 1), name="convDb")(e)
+        desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-10)
+
+        return {"semi": semi, "desc": desc}
+
+
+def flatten_detection(semi: jnp.ndarray) -> jnp.ndarray:
+    """semi [B, H/8, W/8, 65] -> dense heatmap [B, H, W].
+
+    Softmax over the 65 channels, drop the dustbin, depth-to-space the 64
+    cell scores into 8x8 pixel blocks (ref: superpoint flattenDetection via
+    train_good_utils.py:743).
+    """
+    prob = nn.softmax(semi, axis=-1)[..., :64]  # [B, Hc, Wc, 64]
+    B, Hc, Wc, _ = prob.shape
+    prob = prob.reshape(B, Hc, Wc, 8, 8)
+    prob = prob.transpose(0, 1, 3, 2, 4)  # B, Hc, 8, Wc, 8
+    return prob.reshape(B, Hc * 8, Wc * 8)

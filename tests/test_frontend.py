@@ -1,0 +1,143 @@
+"""Frontend tests: CNN shapes, NMS vs naive oracle, soft-argmax gradients,
+descriptor sampling, mutual-NN matching vs brute-force numpy."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deepfepe_tpu.frontend import (
+    FrontendParams,
+    SuperPointNet,
+    descriptor_distance,
+    flatten_detection,
+    get_matches_from_sp,
+    mutual_nn_match,
+    nms_heatmap,
+    sample_descriptors,
+    soft_argmax_refine,
+    topk_keypoints,
+)
+
+
+def test_superpoint_shapes():
+    net = SuperPointNet()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 96, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(params, x)
+    assert outs["semi"].shape == (1, 8, 12, 65)
+    assert outs["desc"].shape == (1, 8, 12, 256)
+    # Descriptors are unit norm.
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(outs["desc"], axis=-1)), 1.0, atol=1e-5
+    )
+    hm = flatten_detection(outs["semi"])
+    assert hm.shape == (1, 64, 96)
+    assert float(jnp.min(hm)) >= 0.0
+
+
+def test_nms_matches_naive(rng):
+    hm = jnp.asarray(rng.rand(2, 32, 32).astype(np.float32))
+    out = np.asarray(nms_heatmap(hm, nms_dist=2))
+    hm_np = np.asarray(hm)
+    for b in range(2):
+        for y in range(32):
+            for x in range(32):
+                y0, y1 = max(0, y - 2), min(32, y + 3)
+                x0, x1 = max(0, x - 2), min(32, x + 3)
+                is_max = hm_np[b, y, x] >= hm_np[b, y0:y1, x0:x1].max()
+                if is_max:
+                    assert out[b, y, x] == hm_np[b, y, x]
+                else:
+                    assert out[b, y, x] == 0.0
+
+
+def test_topk_and_softargmax(rng):
+    # A heatmap with a single gaussian blob off-center: the soft-argmax
+    # offset should point toward the true subpixel maximum.
+    H = W = 40
+    yy, xx = np.mgrid[0:H, 0:W]
+    cx, cy = 20.3, 17.6
+    hm = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / 4.0).astype(np.float32)
+    hm_j = jnp.asarray(hm[None])
+    kpts = topk_keypoints(nms_heatmap(hm_j, 4), k=8, conf_thresh=0.1)
+    assert bool(kpts.valid[0, 0])
+    assert tuple(np.asarray(kpts.xy[0, 0])) == (20.0, 18.0)
+    refined = soft_argmax_refine(hm_j, kpts, patch_size=5)
+    sub = np.asarray(refined.xy[0, 0] + refined.offsets[0, 0])
+    assert abs(sub[0] - cx) < 0.2, sub
+    assert abs(sub[1] - cy) < 0.2, sub
+
+    # Gradient flows from offsets back into the heatmap.
+    def loss(h):
+        k = soft_argmax_refine(h, kpts, patch_size=5)
+        return jnp.sum(k.offsets)
+
+    g = jax.grad(loss)(hm_j)
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_sample_descriptors_interpolates():
+    # Descriptor map with a linear ramp in channel 0.
+    Hc = Wc = 8
+    dm = np.zeros((1, Hc, Wc, 4), np.float32)
+    dm[0, :, :, 0] = np.arange(Wc)[None, :]
+    dm[0, :, :, 1] = 1.0
+    xy = jnp.asarray([[[12.0, 20.0], [28.0, 20.0]]])  # pixel coords, cell=8
+    d = np.asarray(sample_descriptors(jnp.asarray(dm), xy))
+    # x=12px -> grid 1.0 exactly; x=28px -> grid 3.0.
+    r0 = d[0, 0, 0] / d[0, 0, 1]
+    r1 = d[0, 1, 0] / d[0, 1, 1]
+    assert abs(r0 - 1.0) < 1e-5
+    assert abs(r1 - 3.0) < 1e-5
+
+
+def test_mutual_nn_match_vs_numpy(rng):
+    K, D = 32, 16
+    d1 = rng.randn(K, D).astype(np.float32)
+    d2 = rng.randn(K, D).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    valid = np.ones(K, bool)
+
+    m = mutual_nn_match(
+        jnp.asarray(d1[None]), jnp.asarray(d2[None]),
+        jnp.asarray(valid[None]), jnp.asarray(valid[None]),
+        nn_thresh=1.2, num_matches=K,
+    )
+    # Brute-force numpy oracle.
+    dist = np.sqrt(np.clip(2 - 2 * d1 @ d2.T, 0, None))
+    nn12 = dist.argmin(1)
+    nn21 = dist.argmin(0)
+    expected = {
+        (i, nn12[i])
+        for i in range(K)
+        if nn21[nn12[i]] == i and dist[i, nn12[i]] < 1.2
+    }
+    got = {
+        (int(m.idx1[0, j]), int(m.idx2[0, j]))
+        for j in range(K)
+        if bool(m.valid[0, j])
+    }
+    assert got == expected
+
+
+def test_full_frontend_pipeline_and_gradient(rng):
+    net = SuperPointNet()
+    imgs = jnp.asarray(rng.rand(2, 1, 64, 96).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), imgs[0][..., None])
+    fp = FrontendParams(out_num_points=64, conf_thresh=1e-4)
+    out = get_matches_from_sp(net, params, (imgs[0], imgs[1]), fp)
+    assert out["matches_xy_ori"].shape == (1, 64, 4)
+    assert out["quality"].shape == (1, 64, 1)
+
+    # End-to-end differentiability: d(match positions)/d(SP weights) != 0.
+    def loss(p):
+        o = get_matches_from_sp(net, p, (imgs[0], imgs[1]), fp)
+        return jnp.sum(o["matches_xy_ori"])
+
+    g = jax.grad(loss)(params)
+    total = sum(
+        float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g)
+    )
+    assert np.isfinite(total) and total > 0
