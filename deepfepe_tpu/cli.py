@@ -1,0 +1,148 @@
+"""Command-line entry points (parity: deepFEPE/train_good.py :339-400).
+
+Subcommands:
+  train_good <config.yaml> <exper_name>   — train (and periodically validate)
+  eval_good  <config.yaml> <exper_name>   — full-validation eval + npz dumps
+
+Usage: python -m deepfepe_tpu.cli train_good configs/synthetic_baseline.yaml exp0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+
+def _build(args):
+    import yaml
+
+    from .loader import data_loader, model_loader
+    from .train import Trainer, load_config
+
+    cfg = load_config(args.config)
+    if args.train_iter is not None:
+        cfg.training.train_iter = args.train_iter
+    save_dir = os.path.join("logs", args.exper_name)
+    os.makedirs(save_dir, exist_ok=True)
+    # Snapshot the config (ref: train_good.py:114).
+    with open(os.path.join(save_dir, "config.yml"), "w") as f:
+        yaml.safe_dump(json.loads(json.dumps(cfg, default=vars)), f)
+
+    net = model_loader(cfg)
+    trainer = Trainer(net, cfg, save_dir=save_dir)
+    return cfg, net, trainer, save_dir
+
+
+def cmd_train(args):
+    cfg, net, trainer, save_dir = _build(args)
+    from .loader import data_loader
+
+    train_ds = data_loader(cfg, "train")
+    val_ds = data_loader(cfg, "val")
+    bs = cfg.data.batch_size
+
+    if args.pretrained:
+        first = next(iter(train_ds.batches(bs)))
+        trainer.restore(args.pretrained, first)
+        print(f"restored from {args.pretrained} @ iter {trainer.n_iter}")
+
+    last = trainer.fit(
+        train_ds.batches(bs),
+        val_stream_fn=lambda: val_ds.batches(bs),
+        max_iters=cfg.training.train_iter,
+    )
+    trainer.save(trainer.n_iter)
+    print(json.dumps({k: float(np.asarray(v)) for k, v in last.items()
+                      if np.ndim(v) == 0}))
+
+
+def cmd_eval(args):
+    cfg, net, trainer, save_dir = _build(args)
+    from .eval import inlier_ratios, val_rt_batch
+    from .loader import data_loader
+    from .parallel import shard_batch
+
+    val_ds = data_loader(cfg, "test")
+    bs = cfg.data.batch_size
+    first = next(iter(val_ds.batches(bs)))
+    if args.pretrained:
+        trainer.restore(args.pretrained, first)
+    else:
+        trainer.init_state(first)
+
+    results = {"err_q": [], "err_t": [], "err_q_base": [], "err_t_base": [],
+               "err_q_gt": [], "err_t_gt": [], "M_cam_est": [],
+               "M_cam_base": []}
+    key = jax.random.PRNGKey(0)
+    count = 0
+    for batch in val_ds.batches(bs):
+        if args.max_batches and count >= args.max_batches:
+            break
+        sharded = shard_batch(trainer.mesh, batch)
+        metrics = trainer.eval_step(trainer.state.params, sharded)
+        key, sub = jax.random.split(key)
+        rt = val_rt_batch(
+            metrics["E_ests"],
+            sharded["Ks"],
+            sharded["matches_xy_ori"],
+            sharded["E_gts"],
+            sharded["delta_Rtijs_4_4"],
+            ransac_key=sub,
+        )
+        results["err_q"].append(np.asarray(rt["err_q_est"]))
+        results["err_t"].append(np.asarray(rt["err_t_est"]))
+        results["err_q_base"].append(np.asarray(rt["err_q_base"]))
+        results["err_t_base"].append(np.asarray(rt["err_t_base"]))
+        results["err_q_gt"].append(np.asarray(rt["err_q_gt"]))
+        results["err_t_gt"].append(np.asarray(rt["err_t_gt"]))
+        results["M_cam_est"].append(np.asarray(rt["M_cam_est"]))
+        results["M_cam_base"].append(np.asarray(rt["M_cam_base"]))
+        count += 1
+
+    out = {k: np.concatenate(v) for k, v in results.items() if v}
+    # npz dumps named as the reference does ({our,base}_name + filename).
+    np.savez(
+        Path(save_dir) / f"{cfg.exps.our_name}_{cfg.exps.filename}",
+        err_q=out["err_q"], err_t=out["err_t"],
+        relative_poses_cam=out["M_cam_est"],
+    )
+    np.savez(
+        Path(save_dir) / f"{cfg.exps.base_name}_{cfg.exps.filename}",
+        err_q=out["err_q_base"], err_t=out["err_t_base"],
+        relative_poses_cam=out["M_cam_base"],
+    )
+    summary = {
+        "median_err_q": float(np.median(out["err_q"])),
+        "median_err_t": float(np.median(out["err_t"])),
+        "median_err_q_base": float(np.median(out["err_q_base"])),
+        "median_err_t_base": float(np.median(out["err_t_base"])),
+        "median_err_q_gt": float(np.median(out["err_q_gt"])),
+        "pairs": int(len(out["err_q"])),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("deepfepe_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+    for name, fn in (("train_good", cmd_train), ("eval_good", cmd_eval)):
+        sp = sub.add_parser(name)
+        sp.add_argument("config")
+        sp.add_argument("exper_name")
+        sp.add_argument("--pretrained", default="")
+        sp.add_argument("--train_iter", type=int, default=None)
+        sp.add_argument("--max_batches", type=int, default=0)
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""KITTI (and ApolloScape/TUM/EuRoC) pre-dumped two-frame dataset loader.
+
+Format-compatible with the reference's offline dump layout
+(`datasets/kitti_odo_corr.py` :37-604 + the companion deepFEPE_data repo —
+SURVEY.md §2.6). Per scene directory:
+
+  cam.npy                       [3, 3]   intrinsics (pre-resize)
+  poses.npy                     [N, 3, 4] gt absolute poses (cam0 frame)
+  Rt_cam2_gt.npy                [4, 4]   cam0 -> cam2 transform
+  ij_match_quality_{i}-{j}_all.npy   [M, 5+] SIFT matches x1 y1 x2 y2 quality…
+  ij_match_quality_{i}-{j}_good.npy  [M, 5+]
+  %06d.jpg                      images (optional for the SIFT-only path)
+
+The loader reproduces the reference's __getitem__ semantics: K scaling by
+the resize zoom, E/F from the (cam-frame-conjugated) relative pose,
+crop-or-pad to `good_num` with the unique-count bookkeeping, quality scaling
+(col0 / 300), q/t of the inverse relative pose, and gt-consistent virtual
+points. Batches come out in the same schema as `SyntheticPairs`.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..geometry import get_virtual_points
+from .synthetic import _R_to_q_np
+
+
+def rt_pad_np(Rt: np.ndarray) -> np.ndarray:
+    if Rt.shape == (4, 4):
+        return Rt
+    return np.vstack([Rt, [0.0, 0.0, 0.0, 1.0]])
+
+
+def crop_or_pad_choice(
+    in_num: int, out_num: int, rng: Optional[np.random.RandomState] = None,
+    shuffle: bool = True,
+) -> np.ndarray:
+    """Fixed-N sampling indices (ref: utils_misc.crop_or_pad_choice :139):
+    random permutation truncated, padded with replacement — the first
+    min(in_num, out_num) entries are unique (relied on by unique_topk)."""
+    rng = rng or np.random
+    choice = rng.permutation(in_num) if shuffle else np.arange(in_num)
+    if in_num >= out_num:
+        return choice[:out_num]
+    pad = rng.choice(choice, out_num - in_num, replace=True)
+    return np.concatenate([choice, pad])
+
+
+def scale_P(P: np.ndarray, sx: float, sy: float) -> np.ndarray:
+    """Scale a 3x4 projection for image resize (ref: utils_kitti.scale_P)."""
+    out = P.copy()
+    out[0] *= sx
+    out[1] *= sy
+    return out
+
+
+class KittiCorrDataset:
+    """Two-frame correspondence dataset over a reference-format dump tree."""
+
+    def __init__(
+        self,
+        dump_root: str,
+        scenes: Optional[Sequence[str]] = None,
+        delta_ij: int = 1,
+        good_num: int = 1000,
+        image_size: Tuple[int, int] = (376, 1241),
+        resize: Optional[Tuple[int, int]] = None,
+        cam_id: str = "02",
+        seed: int = 0,
+        virtual_iters: int = 8,
+    ):
+        self.root = Path(dump_root)
+        self.delta_ij = delta_ij
+        self.good_num = good_num
+        self.image_size = image_size
+        self.resize = resize or image_size
+        self.cam_id = cam_id
+        self.rng = np.random.RandomState(seed)
+        self.virtual_iters = virtual_iters
+        self.zoom_xy = (
+            self.resize[1] / image_size[1],
+            self.resize[0] / image_size[0],
+        )
+
+        if scenes is None:
+            scenes = sorted(
+                d.name for d in self.root.iterdir() if d.is_dir()
+            )
+        self.samples: List[dict] = []
+        self._crawl(scenes)
+
+    def _crawl(self, scenes: Sequence[str]) -> None:
+        """Index all frame pairs with matches on disk
+        (ref: crawl_folders :100-225)."""
+        for scene_name in scenes:
+            scene = self.root / scene_name
+            K = np.load(scene / "cam.npy").astype(np.float32).reshape(3, 3)
+            poses = np.load(scene / "poses.npy").astype(np.float32).reshape(
+                -1, 3, 4
+            )
+            Rt_cam2_gt = np.load(scene / "Rt_cam2_gt.npy").astype(np.float64)
+            n_frames = len(poses)
+            for i in range(n_frames - self.delta_ij):
+                j = i + self.delta_ij
+                good = scene / f"ij_match_quality_{i}-{j}_good.npy"
+                if not good.is_file():
+                    continue
+                rel = np.linalg.inv(rt_pad_np(poses[j])) @ rt_pad_np(poses[i])
+                if self.cam_id == "02":
+                    rel = Rt_cam2_gt @ rel @ np.linalg.inv(Rt_cam2_gt)
+                self.samples.append(
+                    dict(
+                        scene=scene,
+                        scene_name=scene_name,
+                        i=i,
+                        j=j,
+                        K_ori=K,
+                        relative_scene_pose=rel.astype(np.float32),
+                        Rt_cam2_gt=Rt_cam2_gt.astype(np.float32),
+                    )
+                )
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def get_item(self, index: int) -> Dict[str, np.ndarray]:
+        s = self.samples[index]
+        zx, zy = self.zoom_xy
+        P = np.concatenate([s["K_ori"], np.zeros((3, 1), np.float32)], 1)
+        K = scale_P(P, zx, zy)[:, :3]
+
+        rel = s["relative_scene_pose"].astype(np.float64)
+        R, t = rel[:3, :3], rel[:3, 3]
+        tx = np.array(
+            [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]]
+        )
+        E = tx @ R
+        K64 = K.astype(np.float64)
+        F = np.linalg.inv(K64).T @ E @ np.linalg.inv(K64)
+
+        mq = np.load(
+            s["scene"] / f"ij_match_quality_{s['i']}-{s['j']}_good.npy"
+        ).astype(np.float32)
+        matches = mq[:, :4].copy()
+        matches[:, 0] *= zx
+        matches[:, 1] *= zy
+        matches[:, 2] *= zx
+        matches[:, 3] *= zy
+        quality = mq[:, 4:5].copy() if mq.shape[1] > 4 else np.ones(
+            (len(mq), 1), np.float32
+        )
+        quality[:, 0] = quality[:, 0] / 300.0  # reference scaling (:503)
+
+        choice = crop_or_pad_choice(len(matches), self.good_num, self.rng)
+        unique_num = min(len(matches), self.good_num)
+
+        rel_inv = np.linalg.inv(rel)
+        return {
+            "matches_xy_ori": matches[choice],
+            "quality": quality[choice],
+            "Ks": K.astype(np.float32),
+            "K_invs": np.linalg.inv(K64).astype(np.float32),
+            "E_gts": E.astype(np.float32),
+            "F_gts": (F / (np.linalg.norm(F) + 1e-20)).astype(np.float32),
+            "q_cam": _R_to_q_np(rel_inv[:3, :3]).astype(np.float32),
+            "t_cam": rel_inv[:3, 3].astype(np.float32),
+            "delta_Rtijs_4_4": rel.astype(np.float32),
+            "matches_good_unique_nums": np.int32(unique_num),
+            "t_scene_scale": np.float32(np.linalg.norm(t)),
+            "Rt_cam2_gt": s["Rt_cam2_gt"],
+        }
+
+    def batches(
+        self, batch_size: int, shuffle: bool = True, drop_last: bool = True
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        order = (
+            self.rng.permutation(len(self.samples))
+            if shuffle
+            else np.arange(len(self.samples))
+        )
+        for start in range(0, len(order), batch_size):
+            idxs = order[start : start + batch_size]
+            if len(idxs) < batch_size and drop_last:
+                return
+            items = [self.get_item(int(i)) for i in idxs]
+            out = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            F = jnp.asarray(out["F_gts"])
+            p1v, p2v = get_virtual_points(
+                F, self.resize, iters=self.virtual_iters
+            )
+            out["pts1_virt"] = np.asarray(p1v, np.float32)
+            out["pts2_virt"] = np.asarray(p2v, np.float32)
+            yield out

@@ -1,0 +1,62 @@
+"""Dataset / model factories (parity: utils/loader.py `dataLoader` :63 /
+`modelLoader` :117 — string-keyed dispatch from config)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from .data import SyntheticPairs
+from .data.kitti import KittiCorrDataset
+from .models import DeepFNet
+from .train.config import Config
+
+
+def data_loader(cfg: Config, task: str = "train"):
+    """Return an object with .batches(batch_size) -> iterator of batch dicts."""
+    d = cfg.data
+    if d.dataset == "synthetic":
+        seed = {"train": 0, "val": 1, "test": 2}.get(task, 3)
+        gen = SyntheticPairs(
+            image_size=tuple(d.image_size),
+            good_num=d.good_num,
+            noise_px=d.noise_px,
+            outlier_frac=d.outlier_frac,
+            seed=cfg.training.seed * 10 + seed,
+        )
+
+        class _Stream:
+            def batches(self, batch_size, steps=None):
+                import itertools
+
+                it = itertools.count() if steps is None else range(steps)
+                for _ in it:
+                    yield gen.batch(batch_size)
+
+        return _Stream()
+    elif d.dataset in ("kitti_odo_corr", "apollo", "tum", "euroc"):
+        return KittiCorrDataset(
+            d.dump_root,
+            delta_ij=d.delta_ij,
+            good_num=d.good_num,
+            image_size=tuple(d.image_size),
+            resize=tuple(d.resize) if d.resize else None,
+            seed=cfg.training.seed,
+        )
+    raise ValueError(f"unknown dataset {d.dataset!r}")
+
+
+def model_loader(cfg: Config) -> DeepFNet:
+    """Build the solver net from config (ref model names map to DeepFNet)."""
+    m = cfg.model
+    image_size = tuple(cfg.data.resize or cfg.data.image_size)
+    return DeepFNet(
+        depth=m.depth,
+        image_size=image_size,
+        if_quality=m.if_quality,
+        quality_size=m.quality_size,
+        if_learn_offsets=m.if_learn_offsets,
+        if_img_w=m.if_img_w,
+        if_des=m.if_des,
+        des_size=m.des_size,
+        if_tri_depth=m.if_tri_depth,
+    )

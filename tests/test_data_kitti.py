@@ -1,0 +1,137 @@
+"""KITTI dump-format loader tests via a synthetic fake dump.
+
+Writes a dump tree in the exact reference layout (cam.npy/poses.npy/
+Rt_cam2_gt.npy/ij_match_quality_*_good.npy) populated from the synthetic
+oracle generator, then verifies the loader reproduces consistent geometry:
+gt F has ~zero epipolar distance on the loaded matches, virtual points
+satisfy the gt constraint, and the batch schema matches SyntheticPairs.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from deepfepe_tpu import geometry as geo
+from deepfepe_tpu.data import SyntheticPairs
+from deepfepe_tpu.data.kitti import KittiCorrDataset, crop_or_pad_choice
+
+
+@pytest.fixture
+def fake_dump(tmp_path, rng):
+    """Build a 2-scene dump with 6 frames each from consistent geometry."""
+    H, W = 376, 1241
+    f = 707.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], np.float32)
+    gen = SyntheticPairs(image_size=(H, W), good_num=300, noise_px=0.0,
+                         outlier_frac=0.0, seed=1)
+
+    for scene_i in range(2):
+        scene = tmp_path / f"{scene_i:02d}"
+        scene.mkdir()
+        np.save(scene / "cam.npy", K)
+        np.save(scene / "Rt_cam2_gt.npy", np.eye(4))
+
+        # Random smooth trajectory: absolute poses [N, 3, 4].
+        poses = [np.eye(4)]
+        for _ in range(5):
+            R, tv = (
+                gen._sample_pose()
+            )
+            T = np.eye(4)
+            T[:3, :3], T[:3, 3] = R, tv
+            poses.append(poses[-1] @ np.linalg.inv(T))
+        poses_34 = np.stack([p[:3] for p in poses]).astype(np.float32)
+        np.save(scene / "poses.npy", poses_34)
+
+        # Per-pair matches generated from the actual relative pose.
+        for i in range(5):
+            j = i + 1
+            rel = np.linalg.inv(np.vstack([poses_34[j], [0, 0, 0, 1]])) @ (
+                np.vstack([poses_34[i], [0, 0, 0, 1]])
+            )
+            R, tv = rel[:3, :3], rel[:3, 3]
+            # Project shared 3D points (reuse generator internals).
+            n = 120
+            X1 = np.stack(
+                [
+                    gen.rng.uniform(-15, 15, n),
+                    gen.rng.uniform(-4, 2, n),
+                    gen.rng.uniform(6, 50, n),
+                ],
+                -1,
+            )
+            X2 = X1 @ R.T + tv
+            ok = (X1[:, 2] > 1) & (X2[:, 2] > 1)
+            x1 = (X1[ok] / X1[ok, 2:3]) @ K.T
+            x2 = (X2[ok] / X2[ok, 2:3]) @ K.T
+            m = np.concatenate(
+                [x1[:, :2], x2[:, :2], np.ones((ok.sum(), 1)) * 150.0], -1
+            ).astype(np.float32)
+            np.save(scene / f"ij_match_quality_{i}-{j}_all.npy", m)
+            np.save(scene / f"ij_match_quality_{i}-{j}_good.npy", m)
+    return tmp_path
+
+
+def test_crop_or_pad_choice(rng):
+    c = crop_or_pad_choice(10, 6, rng)
+    assert len(c) == 6 and len(set(c.tolist())) == 6
+    c = crop_or_pad_choice(4, 10, rng)
+    assert len(c) == 10
+    assert sorted(set(c[:4].tolist())) == [0, 1, 2, 3]  # unique first
+
+
+def test_kitti_loader_schema_and_geometry(fake_dump):
+    ds = KittiCorrDataset(
+        str(fake_dump), good_num=128, image_size=(376, 1241), seed=0
+    )
+    assert len(ds) == 10  # 2 scenes x 5 pairs
+
+    batch = next(ds.batches(4))
+    assert batch["matches_xy_ori"].shape == (4, 128, 4)
+    assert batch["pts1_virt"].shape == (4, 100, 3)
+    for k in ("Ks", "E_gts", "F_gts", "delta_Rtijs_4_4"):
+        assert k in batch
+
+    # gt F must have ~zero epipolar distance on the loaded matches.
+    d, _, _ = geo.epi_distance(
+        jnp.asarray(batch["F_gts"]),
+        jnp.asarray(batch["matches_xy_ori"][..., :2]),
+        jnp.asarray(batch["matches_xy_ori"][..., 2:4]),
+    )
+    assert float(jnp.mean(d)) < 0.1, float(jnp.mean(d))
+
+    # Virtual points satisfy the gt constraint.
+    r = geo.compute_epi_residual(
+        jnp.asarray(batch["pts1_virt"]),
+        jnp.asarray(batch["pts2_virt"]),
+        jnp.asarray(batch["F_gts"]),
+        clamp_at=1e9,
+    )
+    assert float(jnp.mean(r)) < 0.1
+
+    # q_cam/t_cam consistent with delta_Rtijs_4_4 inverse.
+    T_inv = np.linalg.inv(batch["delta_Rtijs_4_4"][0])
+    q = np.asarray(
+        geo.R_to_q(jnp.asarray(T_inv[:3, :3], jnp.float32))
+    )
+    np.testing.assert_allclose(q, batch["q_cam"][0], atol=1e-4)
+    np.testing.assert_allclose(T_inv[:3, 3], batch["t_cam"][0], atol=1e-5)
+
+
+def test_kitti_loader_resize_scales_K(fake_dump):
+    ds = KittiCorrDataset(
+        str(fake_dump), good_num=64, image_size=(376, 1241),
+        resize=(188, 620), seed=0,
+    )
+    item = ds.get_item(0)
+    # K scaled by the zoom factors.
+    assert abs(item["Ks"][0, 0] / 707.0 - 620 / 1241) < 1e-5
+    assert abs(item["Ks"][1, 1] / 707.0 - 188 / 376) < 1e-5
+    # Matches scaled into the resized frame; F consistent there.
+    d, _, _ = geo.epi_distance(
+        jnp.asarray(item["F_gts"]),
+        jnp.asarray(item["matches_xy_ori"][None, :, :2]),
+        jnp.asarray(item["matches_xy_ori"][None, :, 2:4]),
+    )
+    assert float(jnp.mean(d)) < 0.1
