@@ -52,17 +52,31 @@ def main():
     trainer.init_state(batch)
     sharded = shard_batch(mesh, batch)
 
+    # Warm up (compile) and force real execution with a host transfer —
+    # block_until_ready alone does not synchronize on tunneled platforms.
     for _ in range(WARMUP):
         trainer.state, m = trainer.train_step(trainer.state, sharded, 0.1, 0.5)
-    jax.block_until_ready(m["loss"])
+    float(np.asarray(m["loss"]))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        trainer.state, m = trainer.train_step(trainer.state, sharded, 0.1, 0.5)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    def run(iters: int) -> float:
+        t0 = time.perf_counter()
+        m_local = None
+        for _ in range(iters):
+            trainer.state, m_local = trainer.train_step(
+                trainer.state, sharded, 0.1, 0.5
+            )
+        # The state chains step-to-step, so syncing the last loss waits for
+        # the whole sequence.
+        float(np.asarray(m_local["loss"]))
+        return time.perf_counter() - t0
 
-    pairs_per_s = BATCH * ITERS / dt
+    # Marginal-cost protocol: (t[2k] - t[k]) / k cancels the fixed
+    # enqueue/sync overhead of the host<->device link.
+    t_short = run(ITERS)
+    t_long = run(2 * ITERS)
+    dt = max(t_long - t_short, 1e-9) / ITERS
+
+    pairs_per_s = BATCH / dt
     print(
         json.dumps(
             {

@@ -1,0 +1,62 @@
+"""Jacobi eigensolver tests: pure-JAX reference and the Pallas kernel
+(interpreter mode on CPU) vs numpy eigh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepfepe_tpu.ops.jacobi import jacobi_eigh
+
+
+def _sym_batch(rng, b, n=9, cond=None):
+    A = rng.randn(b, n, n).astype(np.float32)
+    A = (A + A.transpose(0, 2, 1)) / 2
+    return A
+
+
+def _check_eigh(w, V, A, atol_w=1e-4, atol_v=2e-3):
+    w_np, V_np = np.linalg.eigh(A.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(w), w_np, atol=atol_w)
+    dots = np.abs(np.einsum("bij,bij->bj", np.asarray(V, np.float64), V_np))
+    np.testing.assert_allclose(dots, 1.0, atol=atol_v)
+
+
+def test_jacobi_eigh_matches_numpy(rng):
+    A = _sym_batch(rng, 16)
+    w, V = jacobi_eigh(jnp.asarray(A))
+    _check_eigh(w, V, A)
+    # Orthonormality.
+    VtV = np.asarray(jnp.swapaxes(V, -1, -2) @ V)
+    np.testing.assert_allclose(
+        VtV, np.tile(np.eye(9), (16, 1, 1)), atol=1e-5
+    )
+
+
+def test_jacobi_eigh_near_degenerate(rng):
+    # Repeated eigenvalues: decomposition must still reconstruct A.
+    A = np.stack([np.diag([1.0, 1, 1, 2, 2, 3, 3, 3, 0]).astype(np.float32)])
+    Q = np.linalg.qr(rng.randn(9, 9))[0].astype(np.float32)
+    A = Q @ A[0] @ Q.T
+    w, V = jacobi_eigh(jnp.asarray(A[None]))
+    recon = np.asarray(V) @ np.apply_along_axis(np.diag, -1, np.asarray(w)) @ np.asarray(
+        jnp.swapaxes(V, -1, -2)
+    )
+    np.testing.assert_allclose(recon[0], A, atol=1e-4)
+
+
+def test_eigh9_pallas_interpret_matches_jacobi(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepfepe_tpu.ops.pallas import eigh9_pallas
+
+    A = _sym_batch(rng, 8)
+    with pltpu.force_tpu_interpret_mode():
+        w_p, V_p = eigh9_pallas(jnp.asarray(A), sweeps=7, tile=8)
+    _check_eigh(w_p, V_p, A)
+    w_j, V_j = jacobi_eigh(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_j), atol=1e-5)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(V_p)), np.abs(np.asarray(V_j)), atol=1e-4
+    )
