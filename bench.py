@@ -41,7 +41,12 @@ def main():
     cfg.data.good_num = N_POINTS
     cfg.model.depth = DEPTH
     cfg.model.if_quality = True
-    net = DeepFNet(depth=DEPTH, image_size=(376, 1241), if_quality=True)
+    net = DeepFNet(
+        depth=DEPTH,
+        image_size=(376, 1241),
+        if_quality=True,
+        mlp_dtype=jnp.bfloat16,
+    )
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_data=n_dev)

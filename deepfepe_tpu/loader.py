@@ -47,8 +47,11 @@ def data_loader(cfg: Config, task: str = "train"):
 
 def model_loader(cfg: Config) -> DeepFNet:
     """Build the solver net from config (ref model names map to DeepFNet)."""
+    import jax.numpy as jnp
+
     m = cfg.model
     image_size = tuple(cfg.data.resize or cfg.data.image_size)
+    mlp_dtype = jnp.bfloat16 if m.mlp_dtype == "bfloat16" else jnp.float32
     return DeepFNet(
         depth=m.depth,
         image_size=image_size,
@@ -59,4 +62,6 @@ def model_loader(cfg: Config) -> DeepFNet:
         if_des=m.if_des,
         des_size=m.des_size,
         if_tri_depth=m.if_tri_depth,
+        if_sample_loss=m.if_sample_loss,
+        mlp_dtype=mlp_dtype,
     )

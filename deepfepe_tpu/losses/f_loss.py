@@ -59,7 +59,7 @@ def f_loss(
     else:
         loss_epi_res = jnp.asarray(0.0, out_layers.dtype)
 
-    return {
+    out = {
         "loss_F": loss_F,
         "loss_layers": loss_layers,
         "losses_layers": losses,
@@ -70,6 +70,21 @@ def f_loss(
         "F_ests": F_ests,
         "loss_epi_res": loss_epi_res,
     }
+
+    # Sample-loss auxiliary (ref: get_all_loss_DeepF :387-424): mean clamped
+    # epi residual of every sampled-hypothesis F on the virtual points.
+    if "out_sample_selected_layers" in outs:
+        F_samples = outs["out_sample_selected_layers"]  # [L, B, S, 3, 3]
+        sel_losses = compute_epi_residual(
+            pts1_eval[None, :, None],  # [1, B, 1, V, 3]
+            pts2_eval[None, :, None],
+            F_samples,
+            clamp_at=0.02,
+        )  # [L, B, S, V]
+        out["loss_selected_layers"] = jnp.mean(sel_losses, axis=(-1, -2, -3))
+        out["loss_selected_F"] = jnp.mean(out["loss_selected_layers"])
+
+    return out
 
 
 def unique_topk(

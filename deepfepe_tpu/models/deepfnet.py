@@ -62,18 +62,26 @@ class DeepFNet(nn.Module):
     depth_clamp: float = 200.0
     feature_clamp_at: float = 0.5  # epi-residual clamp inside the recurrence
     normalize_svd: bool = True
+    mlp_dtype: jnp.dtype = jnp.float32  # bfloat16 for full-rate MXU MLPs
+    # Sample-loss variant (ref: DeepFNetSampleLoss.Norm8PointNet :438):
+    # per layer, also fit F on sampled minimal subsets for an auxiliary loss.
+    if_sample_loss: bool = False
+    sample_topk: int = 20
+    sample_selects: int = 100
 
     def setup(self):
         q = self.quality_size if self.if_quality else 0
         d = self.des_size if self.if_des else 0
         tri = 1 if self.if_tri_depth else 0
-        self.input_weights = ErrorEstimator(output_size=1)
+        self.input_weights = ErrorEstimator(output_size=1, dtype=self.mlp_dtype)
         # +3 for [weights, epi_res, residual] (+1 tri depth), DeepFNet.py:341.
-        self.update_weights = ErrorEstimator(output_size=1)
+        self.update_weights = ErrorEstimator(output_size=1, dtype=self.mlp_dtype)
         self._in_ch = 4 + q + d
         self._update_ch = 4 + q + d + 3 + tri
         if self.if_learn_offsets:
-            self.update_offsets = ErrorEstimator(output_size=4, if_bn=False)
+            self.update_offsets = ErrorEstimator(
+                output_size=4, if_bn=False, dtype=self.mlp_dtype
+            )
 
     def _get_input(self, data_batch, offsets=None):
         pts = data_batch["matches_xy_ori"]  # [B, N, 4]
@@ -117,8 +125,26 @@ class DeepFNet(nn.Module):
 
         out_layers, residual_layers = [], []
         epi_res_layers, weights_layers, logits_layers = [], [weights], [logits]
+        sample_F_layers, sample_score_layers = [], []
         offsets_accu = None
         tri_depths = None
+
+        def maybe_sample_fits(pts1, pts2, weights):
+            if not self.if_sample_loss:
+                return
+            from .sample_fit import sample_loss_fits
+
+            sf = sample_loss_fits(
+                pts1,
+                pts2,
+                weights,
+                data_batch["matches_good_unique_nums"],
+                self.make_rng("sample"),
+                topk=self.sample_topk,
+                selects=self.sample_selects,
+            )
+            sample_F_layers.append(sf["F_samples"])
+            sample_score_layers.append(sf["sample_scores"])
 
         for _ in range(self.depth - 1):
             fit = weighted_eight_point(
@@ -126,6 +152,7 @@ class DeepFNet(nn.Module):
             )
             out_layers.append(fit.F)
             residual_layers.append(fit.residual)
+            maybe_sample_fits(pts1, pts2, weights)
             epi_res = compute_epi_residual(
                 pts1, pts2, fit.F, clamp_at=self.feature_clamp_at
             )
@@ -162,6 +189,7 @@ class DeepFNet(nn.Module):
         )
         out_layers.append(fit.F)
         residual_layers.append(fit.residual)
+        maybe_sample_fits(pts1, pts2, weights)
 
         preds = {
             "logits": logits,                               # [B, N]
@@ -181,4 +209,10 @@ class DeepFNet(nn.Module):
             preds["offsets"] = offsets_accu
         if self.if_tri_depth:
             preds["tri_depths"] = tri_depths
+        if self.if_sample_loss:
+            # [depth, B, S, 3, 3] / [depth, B, S]
+            preds["out_sample_selected_layers"] = jnp.stack(sample_F_layers)
+            preds["weights_sample_selected_layers"] = jnp.stack(
+                sample_score_layers
+            )
         return preds

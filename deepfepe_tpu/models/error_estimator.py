@@ -53,25 +53,32 @@ class ErrorEstimator(nn.Module):
     """The weight MLP (ref: ErrorEstimators.py:14-69).
 
     [B, N, C_in] -> [B, N, output_size] logits.
+
+    `dtype` sets the matmul compute precision (bfloat16 runs the MXU at its
+    full rate; parameters stay float32 and InstanceNorm statistics are
+    computed in float32 regardless). Output logits are returned in float32.
     """
 
     output_size: int = 1
     features: Sequence[int] = (64, 128, 1024, 512, 256)
     if_bn: bool = False
     negative_slope: float = 0.01  # torch LeakyReLU default
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
         for f in self.features:
-            x = nn.Dense(f, use_bias=True)(x)
+            x = nn.Dense(f, use_bias=True, dtype=self.dtype)(x)
             if self.if_bn:
                 x = nn.BatchNorm(use_running_average=not train, axis=-1)(x)
-            x = InstanceNorm1d(f)(x)
+            # Normalization statistics in f32 for stability.
+            x = InstanceNorm1d(f)(x.astype(jnp.float32)).astype(self.dtype)
             x = nn.leaky_relu(x, negative_slope=self.negative_slope)
         # Final projection: bias matches the reference (bias=False only in the
         # BatchNorm variant, ErrorEstimators.py:46 vs :66).
-        x = nn.Dense(self.output_size, use_bias=not self.if_bn)(x)
-        return x
+        x = nn.Dense(self.output_size, use_bias=not self.if_bn, dtype=self.dtype)(x)
+        return x.astype(jnp.float32)
 
 
 class ErrorEstimatorFeatFusion(nn.Module):

@@ -51,6 +51,9 @@ class ModelConfig:
     balance_q: float = 1.0
     balance_t: float = 0.1
     balance_F: float = 100.0
+    balance_select_F: float = 0.1
+    # MLP matmul compute dtype: 'bfloat16' (full-rate MXU) or 'float32'.
+    mlp_dtype: str = "bfloat16"
 
 
 @dataclass

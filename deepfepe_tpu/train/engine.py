@@ -66,10 +66,14 @@ def compute_losses(
     cfg: Config,
     q_clamp: float,
     t_clamp: float,
+    rng: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Forward + loss composition; returns (scalar loss, metrics dict)."""
     mcfg = cfg.model
-    outs = net.apply(params, batch)
+    rngs = None
+    if mcfg.if_sample_loss:
+        rngs = {"sample": rng if rng is not None else jax.random.PRNGKey(0)}
+    outs = net.apply(params, batch, rngs=rngs)
     ld = f_loss(
         outs, batch["pts1_virt"], batch["pts2_virt"], batch["Ks"], mcfg.clamp_at
     )
@@ -80,6 +84,10 @@ def compute_losses(
         "loss_epi_res": ld["loss_epi_res"],
     }
     loss = ld["loss_F"]
+    if mcfg.if_sample_loss and "loss_selected_F" in ld:
+        balance_select_F = getattr(mcfg, "balance_select_F", 0.1)
+        loss = loss + ld["loss_selected_F"] * balance_select_F
+        metrics["loss_selected_F"] = ld["loss_selected_F"]
     if mcfg.if_qt_loss:
         R_gt = jnp.linalg.inv(batch["delta_Rtijs_4_4"])[..., :3, :3]
         rd = rt_loss(
@@ -114,8 +122,12 @@ def make_train_step(
 
     @functools.partial(jax.jit, static_argnums=(2, 3), donate_argnums=(0,))
     def train_step(state: TrainState, batch, q_clamp: float, t_clamp: float):
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(17), state.n_iter)
+
         def loss_fn(params):
-            return compute_losses(net, params, batch, cfg, q_clamp, t_clamp)
+            return compute_losses(
+                net, params, batch, cfg, q_clamp, t_clamp, rng=step_rng
+            )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

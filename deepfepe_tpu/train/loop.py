@@ -91,7 +91,11 @@ class Trainer:
 
     def init_state(self, example_batch: Dict) -> TrainState:
         batch = shard_batch(self.mesh, example_batch)
-        params = self.net.init(jax.random.PRNGKey(self.rng_seed), batch)
+        init_rngs = {
+            "params": jax.random.PRNGKey(self.rng_seed),
+            "sample": jax.random.PRNGKey(self.rng_seed + 1),
+        }
+        params = self.net.init(init_rngs, batch)
         state = TrainState.create(params, self.tx)
         self.state = shard_params(self.mesh, state)
         return self.state

@@ -182,3 +182,26 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(jax.device_get(state2.params))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_sample_loss_variant_trains():
+    cfg = small_config(if_quality=True, if_sample_loss=True)
+    net = DeepFNet(
+        depth=2,
+        image_size=cfg.data.image_size,
+        if_quality=True,
+        if_sample_loss=True,
+        sample_topk=9,
+        sample_selects=16,
+    )
+    cfg.model.depth = 2
+    ds = SyntheticPairs(good_num=64, noise_px=0.3, outlier_frac=0.3, seed=11)
+    cfg.data.good_num = 64
+    batch = ds.batch(2)
+    trainer = Trainer(net, cfg, save_dir=None, mesh=make_mesh(n_data=1))
+    trainer.init_state(batch)
+    b = shard_batch(trainer.mesh, batch)
+    state, m = trainer.train_step(trainer.state, b, 0.1, 0.5)
+    assert "loss_selected_F" in m
+    assert np.isfinite(float(m["loss_selected_F"]))
+    assert float(m["loss"]) > float(m["loss_F"])  # aux term added
