@@ -152,3 +152,164 @@ def test_val_rt_gt_sanity(rng):
     assert float(jnp.median(out["err_q_base"])) < 1.0
     ratios = ev.inlier_ratios(out["epi_dists_gt"])
     assert float(jnp.min(ratios["ratio@1.0"])) > 0.9
+
+
+def test_tum_ate_rpe(rng):
+    from conftest import random_pose
+
+    from deepfepe_tpu.eval import tum
+
+    # Identical trajectories -> zero errors.
+    T_acc = np.eye(4)
+    poses = [T_acc.copy()]
+    for _ in range(20):
+        R, t = random_pose(rng, max_angle_deg=4)
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3] = R, t
+        T_acc = T_acc @ T
+        poses.append(T_acc.copy())
+    poses = np.stack(poses)
+    a = tum.ate(poses[:, :3, 3], poses[:, :3, 3])
+    assert a["rmse"] < 1e-9
+    r = tum.rpe(poses, poses)
+    assert r["trans_rmse"] < 1e-9
+
+    # A rigidly transformed copy still has ~zero ATE (alignment removes it).
+    Rg, tg = random_pose(rng, max_angle_deg=50)
+    M = np.eye(4)
+    M[:3, :3], M[:3, 3] = Rg, tg
+    moved = np.einsum("ij,njk->nik", M, poses)
+    a2 = tum.ate(poses[:, :3, 3], moved[:, :3, 3])
+    assert a2["rmse"] < 1e-6
+
+
+def test_result_processor_and_tables(tmp_path, rng):
+    from deepfepe_tpu.eval.results import ExpTableProcessor, ResultProcessor
+
+    for name, scale in (("expA", 1.0), ("expB", 3.0)):
+        np.savez(
+            tmp_path / f"{name}.npz",
+            err_q=rng.rand(50) * scale,
+            err_t=rng.rand(50) * scale,
+            epi_dists=rng.rand(50, 10) * scale,
+        )
+    rp = ResultProcessor.from_npz(str(tmp_path / "expA.npz"))
+    ir = rp.inlier_ratio((0.5, 1.0))
+    assert 0 < ir[0.5] < ir[1.0] <= 1.0
+    stats = rp.pose_error_stats()
+    assert "err_q_median" in stats
+    curve = rp.ratio_curve("err_q", (0.25, 0.5, 1.0))
+    assert curve[1.0] >= curve[0.5] >= curve[0.25]
+
+    tp = ExpTableProcessor(
+        {
+            "expA": ResultProcessor.from_npz(str(tmp_path / "expA.npz")),
+            "expB": ResultProcessor.from_npz(str(tmp_path / "expB.npz")),
+        }
+    )
+    assert tp.highlights("err_q_median") == "expA"
+    latex = tp.to_latex()
+    assert "textbf" in latex and "expA" in latex
+
+
+def test_dsac_essential(rng):
+    from deepfepe_tpu.models.dsac import dsac_essential
+
+    s = synthetic_pair(rng, n=100, noise=0.3, outlier_frac=0.3)
+    K_inv = np.linalg.inv(s["K"])
+    xh = lambda x: (np.hstack([x, np.ones((len(x), 1))]) @ K_inv.T)[:, :2]
+    E_gt = jnp.asarray(s["E"] / np.linalg.norm(s["E"]), jnp.float32)
+
+    def loss_fn(E):
+        En = E / (jnp.linalg.norm(E) + 1e-9)
+        return jnp.minimum(
+            jnp.sum((En - E_gt) ** 2), jnp.sum((En + E_gt) ** 2)
+        )
+
+    out = dsac_essential(
+        jnp.asarray(xh(s["x1"]), jnp.float32),
+        jnp.asarray(xh(s["x2"]), jnp.float32),
+        jax.random.PRNGKey(3),
+        loss_fn=loss_fn,
+        hyps=128,
+    )
+    assert np.isfinite(float(out["exp_loss"]))
+    # The best hypothesis should be decent.
+    assert float(out["top_loss"]) < 0.5, float(out["top_loss"])
+    # Expected loss differentiable wrt inputs.
+    g = jax.grad(
+        lambda x: dsac_essential(
+            x,
+            jnp.asarray(xh(s["x2"]), jnp.float32),
+            jax.random.PRNGKey(3),
+            loss_fn=loss_fn,
+            hyps=64,
+        )["exp_loss"]
+    )(jnp.asarray(xh(s["x1"]), jnp.float32))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_frontend_eval_and_repeatability(rng):
+    from deepfepe_tpu.eval.frontend_eval import (
+        compute_repeatability,
+        homography_correctness,
+        warp_keypoints,
+    )
+
+    # Repeatability: same keypoints warped by H -> repeatability 1.
+    H = np.array([[1.0, 0, 5.0], [0, 1.0, -3.0], [0, 0, 1]])
+    k1 = rng.rand(50, 2) * np.array([80, 60]) + 10
+    k2 = warp_keypoints(k1, H)
+    rep = compute_repeatability(k1, k2, H, (100, 120), distance_thresh=1.0)
+    assert rep["repeatability"] > 0.95
+    assert rep["localization_error"] < 0.1
+
+    # Homography correctness from perfect matches.
+    matches = np.concatenate([k1, k2], axis=1)
+    hc = homography_correctness(matches, H, (100, 120))
+    assert hc["corner_error"] < 0.5
+    assert hc["correct@3.0"] == 1.0
+
+
+def test_warp_utils(rng):
+    import jax.numpy as jnp
+
+    from deepfepe_tpu.utils import warp as W
+
+    # vec<->mtrx roundtrip for all warp types.
+    for wt in ("translation", "similarity", "affine", "homography"):
+        k = {"translation": 2, "similarity": 4, "affine": 6, "homography": 8}[wt]
+        p = jnp.asarray(rng.randn(3, k) * 0.1, jnp.float32)
+        back = W.mtrx2vec(W.vec2mtrx(p, wt), wt)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(p), atol=1e-6)
+
+    # Affine fit recovers a known warp.
+    M_true = np.array([[1.1, 0.05, 3.0], [-0.02, 0.95, -2.0], [0, 0, 1]])
+    src = rng.rand(30, 2) * 50
+    dst = (np.hstack([src, np.ones((30, 1))]) @ M_true.T)[:, :2]
+    M_fit = np.asarray(
+        W.fit_affine(jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32))
+    )
+    np.testing.assert_allclose(M_fit, M_true, atol=1e-3)
+
+    # transform_image: identity warp is a no-op.
+    img = jnp.asarray(rng.rand(16, 20, 3), jnp.float32)
+    out = W.transform_image(img, jnp.eye(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_io_utils(tmp_path, rng):
+    from deepfepe_tpu.utils import io
+
+    d = {"a": rng.rand(3, 4), "nested": {"b": np.arange(5)}}
+    io.saveh5(d, str(tmp_path / "t.h5"))
+    back = io.loadh5(str(tmp_path / "t.h5"))
+    np.testing.assert_allclose(back["a"], d["a"])
+    np.testing.assert_array_equal(back["nested"]["b"], d["nested"]["b"])
+
+    io.savepklz(d, str(tmp_path / "t.pklz"))
+    back2 = io.loadpklz(str(tmp_path / "t.pklz"))
+    np.testing.assert_allclose(back2["a"], d["a"])
+
+    merged = io.dict_update({"x": 1, "y": {"z": 2}}, {"y": {"w": 3}})
+    assert merged == {"x": 1, "y": {"z": 2, "w": 3}}
