@@ -1,0 +1,149 @@
+"""Synthetic image pairs with exact two-view geometry (for the SP+DeepF path).
+
+Renders blob-textured scenes made of TWO fronto-parallel planes at different
+depths (a single plane is degenerate for F estimation), viewed from two
+poses. Each plane induces an exact homography H_i = K (R + t nᵀ/d_i) K⁻¹, so
+the pair is photometrically consistent with the ground-truth (R, t) and the
+epipolar geometry E = [t]×R holds for every rendered point — an oracle
+dataset for end-to-end frontend+solver training without real images.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..geometry import get_virtual_points
+from .synthetic import _R_to_q_np, _random_rotation
+
+
+def _render_texture(rng, H, W, n_blobs=60):
+    """Random gaussian-blob texture in [0, 1] with rich local structure."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = np.zeros((H, W))
+    for _ in range(n_blobs):
+        cx, cy = rng.uniform(0, W), rng.uniform(0, H)
+        s = rng.uniform(1.5, 6.0)
+        a = rng.uniform(-1.0, 1.0)
+        img += a * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    img -= img.min()
+    img /= img.max() + 1e-9
+    return img
+
+
+def _warp_bilinear(img, Hmat, H, W):
+    """out(x) = img(Hmat @ x) with zero padding."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    pts = np.stack([xx.ravel(), yy.ravel(), np.ones(H * W)])
+    w = Hmat @ pts
+    u = w[0] / w[2]
+    v = w[1] / w[2]
+    x0 = np.floor(u).astype(int)
+    y0 = np.floor(v).astype(int)
+    fx = u - x0
+    fy = v - y0
+
+    def at(ys, xs):
+        ok = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+        vals = np.zeros(len(xs))
+        vals[ok] = img[ys[ok], xs[ok]]
+        return vals
+
+    out = (
+        at(y0, x0) * (1 - fx) * (1 - fy)
+        + at(y0, x0 + 1) * fx * (1 - fy)
+        + at(y0 + 1, x0) * (1 - fx) * fy
+        + at(y0 + 1, x0 + 1) * fx * fy
+    )
+    return out.reshape(H, W)
+
+
+class SyntheticImagePairs:
+    """Image-pair stream with gt geometry for joint SP+solver training."""
+
+    def __init__(
+        self,
+        image_size: Tuple[int, int] = (120, 160),
+        focal: float = 140.0,
+        depths: Tuple[float, float] = (6.0, 12.0),
+        max_angle_deg: float = 2.0,
+        t_scale: float = 0.15,
+        virtual_iters: int = 8,
+        seed: int = 0,
+    ):
+        self.image_size = image_size
+        self.depths = depths
+        self.max_angle_deg = max_angle_deg
+        self.t_scale = t_scale
+        self.virtual_iters = virtual_iters
+        self.rng = np.random.RandomState(seed)
+        H, W = image_size
+        self.K = np.array(
+            [[focal, 0, W / 2.0], [0, focal, H / 2.0], [0, 0, 1.0]]
+        )
+
+    def plane_homography(self, R, t, d):
+        """H mapping image-1 pixels to image-2 pixels for plane z=d
+        (n = [0,0,1], fronto-parallel in camera 1)."""
+        K = self.K
+        n = np.array([0.0, 0.0, 1.0])
+        H = K @ (R + np.outer(t, n) / d) @ np.linalg.inv(K)
+        return H / H[2, 2]
+
+    def _sample_item(self) -> Dict[str, np.ndarray]:
+        H, W = self.image_size
+        rng = self.rng
+        R = _random_rotation(rng, self.max_angle_deg)
+        t = rng.randn(3) * np.array([1.0, 0.5, 1.5])
+        t = t / np.linalg.norm(t) * self.t_scale
+
+        img1 = np.zeros((H, W))
+        img2 = np.zeros((H, W))
+        # Region split in image 1: left half = near plane, right = far plane.
+        split = W // 2
+        for idx, d in enumerate(self.depths):
+            tex = _render_texture(rng, H, W)
+            Hm = self.plane_homography(R, t, d)
+            region1 = np.zeros((H, W))
+            if idx == 0:
+                region1[:, :split] = 1.0
+            else:
+                region1[:, split:] = 1.0
+            img1 += tex * region1
+            # image2(x2) = tex(H^-1 x2) within the warped region.
+            Hinv = np.linalg.inv(Hm)
+            img2 += _warp_bilinear(tex * region1, Hinv, H, W)
+
+        tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+        E = tx @ R
+        K = self.K
+        F = np.linalg.inv(K).T @ E @ np.linalg.inv(K)
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3] = R, t
+        T_inv = np.linalg.inv(T)
+
+        return {
+            "imgs_grey": np.stack([img1, img2]).astype(np.float32),
+            "Ks": K.astype(np.float32),
+            "K_invs": np.linalg.inv(K).astype(np.float32),
+            "E_gts": E.astype(np.float32),
+            "F_gts": (F / np.linalg.norm(F)).astype(np.float32),
+            "q_cam": _R_to_q_np(T_inv[:3, :3]).astype(np.float32),
+            "t_cam": T_inv[:3, 3].astype(np.float32),
+            "delta_Rtijs_4_4": T.astype(np.float32),
+            "t_scene_scale": np.float32(np.linalg.norm(t)),
+        }
+
+    def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        items = [self._sample_item() for _ in range(batch_size)]
+        out = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        F = jnp.asarray(out["F_gts"])
+        p1v, p2v = get_virtual_points(
+            F, self.image_size, iters=self.virtual_iters
+        )
+        out["pts1_virt"] = np.asarray(p1v, np.float32)
+        out["pts2_virt"] = np.asarray(p2v, np.float32)
+        return out

@@ -1,0 +1,131 @@
+"""Joint SuperPoint + DeepF end-to-end training (one jitted step).
+
+Port of the reference's if_SP path (`Train_model_pipeline.train_val_batch`
+:367-386 + the separate optimizers/flags machinery: `optimizer` vs
+`optimizer_SP`, `train`/`train_SP`, prepare_model x2 in train_good.py:230-251).
+The frontend runs inside the same jitted step as the solver, so the gradient
+flows loss -> solver -> matches (xs + offsets) -> soft-argmax -> SuperPoint
+CNN with no host round trips (the reference detours through numpy matching
+per batch, train_good_utils.py:685-713).
+
+Batch schema adds 'imgs_grey' [B, 2, H, W] in [0, 1] to the solver batch
+keys (Ks, gt E/F/q/t, virtual points).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..frontend import FrontendParams, get_matches_from_sp
+from .config import Config
+from .engine import compute_losses
+
+
+class JointTrainState(struct.PyTreeNode):
+    deepf_params: Any
+    deepf_opt: Any
+    sp_params: Any
+    sp_opt: Any
+    n_iter: jnp.ndarray
+
+    @classmethod
+    def create(cls, deepf_params, sp_params, tx_deepf, tx_sp):
+        return cls(
+            deepf_params=deepf_params,
+            deepf_opt=tx_deepf.init(deepf_params),
+            sp_params=sp_params,
+            sp_opt=tx_sp.init(sp_params),
+            n_iter=jnp.zeros((), jnp.int32),
+        )
+
+
+def build_solver_batch(sp_out: Dict, batch: Dict) -> Dict:
+    """Assemble the solver data_batch from frontend outputs + gt tensors."""
+    db = dict(batch)
+    db["matches_xy_ori"] = sp_out["matches_xy_ori"]
+    db["quality"] = sp_out["quality"]
+    db["matches_good_unique_nums"] = jnp.sum(
+        sp_out["valid"].astype(jnp.int32), axis=-1
+    )
+    return db
+
+
+def make_joint_train_step(
+    deepf_net,
+    sp_net,
+    fp: FrontendParams,
+    tx_deepf: optax.GradientTransformation,
+    tx_sp: optax.GradientTransformation,
+    cfg: Config,
+    train_deepf: bool = True,
+    train_sp: bool = True,
+) -> Callable:
+    """(state, batch, q_clamp, t_clamp) -> (state, metrics), fully jitted."""
+
+    @functools.partial(jax.jit, static_argnums=(2, 3), donate_argnums=(0,))
+    def step(state: JointTrainState, batch, q_clamp: float, t_clamp: float):
+        imgs = batch["imgs_grey"]  # [B, 2, H, W]
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(23), state.n_iter)
+
+        def loss_fn(deepf_params, sp_params):
+            sp_out = get_matches_from_sp(
+                sp_net, sp_params, (imgs[:, 0], imgs[:, 1]), fp
+            )
+            db = build_solver_batch(sp_out, batch)
+            loss, metrics = compute_losses(
+                deepf_net, deepf_params, db, cfg, q_clamp, t_clamp,
+                rng=step_rng,
+            )
+            metrics["num_matches"] = jnp.mean(
+                jnp.sum(sp_out["valid"], axis=-1).astype(jnp.float32)
+            )
+            return loss, metrics
+
+        (loss, metrics), (g_deepf, g_sp) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.deepf_params, state.sp_params)
+
+        deepf_params, deepf_opt = state.deepf_params, state.deepf_opt
+        if train_deepf:
+            upd, deepf_opt = tx_deepf.update(g_deepf, deepf_opt, deepf_params)
+            deepf_params = optax.apply_updates(deepf_params, upd)
+        sp_params, sp_opt = state.sp_params, state.sp_opt
+        if train_sp:
+            upd, sp_opt = tx_sp.update(g_sp, sp_opt, sp_params)
+            sp_params = optax.apply_updates(sp_params, upd)
+
+        new_state = state.replace(
+            deepf_params=deepf_params,
+            deepf_opt=deepf_opt,
+            sp_params=sp_params,
+            sp_opt=sp_opt,
+            n_iter=state.n_iter + 1,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_joint_eval_step(deepf_net, sp_net, fp: FrontendParams, cfg: Config):
+    @jax.jit
+    def eval_step(deepf_params, sp_params, batch):
+        imgs = batch["imgs_grey"]
+        sp_out = get_matches_from_sp(
+            sp_net, sp_params, (imgs[:, 0], imgs[:, 1]), fp
+        )
+        db = build_solver_batch(sp_out, batch)
+        _, metrics = compute_losses(
+            deepf_net, deepf_params, db, cfg,
+            float(cfg.training.clamp_q_params[-1]),
+            float(cfg.training.clamp_t_params[-1]),
+        )
+        metrics["matches_xy"] = sp_out["matches_xy_ori"]
+        return metrics
+
+    return eval_step

@@ -1,0 +1,141 @@
+"""Joint SuperPoint + DeepF end-to-end training tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deepfepe_tpu.data.synthetic_images import SyntheticImagePairs
+from deepfepe_tpu.frontend import FrontendParams, SuperPointNet
+from deepfepe_tpu.models import DeepFNet
+from deepfepe_tpu.train import Config
+from deepfepe_tpu.train.joint import (
+    JointTrainState,
+    make_joint_eval_step,
+    make_joint_train_step,
+)
+from deepfepe_tpu import geometry as geo
+
+
+def test_synthetic_images_photometric_and_geometric_consistency(rng):
+    ds = SyntheticImagePairs(image_size=(64, 96), seed=2)
+    item = ds._sample_item()
+    img1, img2 = item["imgs_grey"]
+    F = item["F_gts"].astype(np.float64)
+
+    # Geometric: points warped by each plane homography satisfy epipolar
+    # geometry of (R, t).
+    R = item["delta_Rtijs_4_4"][:3, :3].astype(np.float64)
+    t = item["delta_Rtijs_4_4"][:3, 3].astype(np.float64)
+    for d in ds.depths:
+        Hm = ds.plane_homography(R, t, d)
+        x1 = np.array([[20.0, 30.0, 1.0], [70.0, 40.0, 1.0]]).T
+        x2 = Hm @ x1
+        x2 /= x2[2]
+        resid = np.abs(np.sum(x2 * (F @ x1), axis=0))
+        assert np.max(resid) < 1e-4  # F stored f32-normalized
+
+    # Photometric: img2 sampled at H x1 ≈ img1 at x1 for in-bounds interior
+    # points of the correct plane region.
+    Hm = ds.plane_homography(R, t, ds.depths[0])
+    pts = np.array([[20.0, 30.0], [25.0, 20.0], [30.0, 44.0]])
+    ok = 0
+    for p in pts:
+        q = Hm @ np.array([p[0], p[1], 1.0])
+        q = q[:2] / q[2]
+        if 2 < q[0] < 93 and 2 < q[1] < 61:
+            v1 = img1[int(round(p[1])), int(round(p[0]))]
+            v2 = img2[int(round(q[1])), int(round(q[0]))]
+            if abs(float(v1) - float(v2)) < 0.15:
+                ok += 1
+    assert ok >= 2
+
+
+def test_joint_train_step_runs_and_updates_both():
+    cfg = Config()
+    cfg.model.depth = 2
+    cfg.model.if_quality = True
+    cfg.data.good_num = 64
+
+    ds = SyntheticImagePairs(image_size=(64, 96), seed=3)
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(2).items()}
+
+    sp_net = SuperPointNet()
+    deepf_net = DeepFNet(depth=2, image_size=(64, 96), if_quality=True)
+    fp = FrontendParams(out_num_points=64, conf_thresh=1e-4)
+
+    sp_params = sp_net.init(
+        jax.random.PRNGKey(0), batch["imgs_grey"][:, 0][..., None]
+    )
+    from deepfepe_tpu.frontend import get_matches_from_sp
+
+    sp_out = get_matches_from_sp(
+        sp_net, sp_params, (batch["imgs_grey"][:, 0], batch["imgs_grey"][:, 1]), fp
+    )
+    db = dict(batch)
+    db["matches_xy_ori"] = sp_out["matches_xy_ori"]
+    db["quality"] = sp_out["quality"]
+    db["matches_good_unique_nums"] = jnp.sum(sp_out["valid"], axis=-1)
+    deepf_params = deepf_net.init(jax.random.PRNGKey(1), db)
+
+    tx1 = optax.adam(1e-4)
+    tx2 = optax.adam(1e-5)
+    state = JointTrainState.create(deepf_params, sp_params, tx1, tx2)
+    # Snapshot before stepping: the jitted step donates its input state.
+    before_deepf = jax.device_get(deepf_params)
+    before_sp = jax.device_get(sp_params)
+    step = make_joint_train_step(
+        deepf_net, sp_net, fp, tx1, tx2, cfg, train_deepf=True, train_sp=True
+    )
+    state2, metrics = step(state, batch, 0.1, 0.5)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["num_matches"]) > 8
+
+    # Both parameter trees changed.
+    def changed(a, b):
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(jax.device_get(b))
+        return any(np.any(x != y) for x, y in zip(la, lb))
+
+    assert changed(before_deepf, state2.deepf_params)
+    assert changed(before_sp, state2.sp_params)
+
+    # Eval step runs.
+    ev = make_joint_eval_step(deepf_net, sp_net, fp, cfg)
+    m = ev(state2.deepf_params, state2.sp_params, batch)
+    assert np.isfinite(float(m["loss_F"]))
+
+
+def test_joint_freeze_flags():
+    cfg = Config()
+    cfg.model.depth = 2
+    cfg.model.if_quality = True
+    ds = SyntheticImagePairs(image_size=(64, 96), seed=4)
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(1).items()}
+    sp_net = SuperPointNet()
+    deepf_net = DeepFNet(depth=2, image_size=(64, 96), if_quality=True)
+    fp = FrontendParams(out_num_points=32, conf_thresh=1e-4)
+    sp_params = sp_net.init(
+        jax.random.PRNGKey(0), batch["imgs_grey"][:, 0][..., None]
+    )
+    from deepfepe_tpu.train.joint import build_solver_batch
+    from deepfepe_tpu.frontend import get_matches_from_sp
+
+    sp_out = get_matches_from_sp(
+        sp_net, sp_params, (batch["imgs_grey"][:, 0], batch["imgs_grey"][:, 1]), fp
+    )
+    deepf_params = deepf_net.init(
+        jax.random.PRNGKey(1), build_solver_batch(sp_out, batch)
+    )
+    tx = optax.adam(1e-4)
+    state = JointTrainState.create(deepf_params, sp_params, tx, tx)
+    before_sp = jax.tree_util.tree_leaves(jax.device_get(sp_params))
+    # Freeze SP (the reference's train_SP=false staged recipe).
+    step = make_joint_train_step(
+        deepf_net, sp_net, fp, tx, tx, cfg, train_deepf=True, train_sp=False
+    )
+    state2, _ = step(state, batch, 0.1, 0.5)
+    la = before_sp
+    lb = jax.tree_util.tree_leaves(jax.device_get(state2.sp_params))
+    assert all(np.array_equal(x, y) for x, y in zip(la, lb))

@@ -1,0 +1,64 @@
+"""Native C++ npy loader tests (builds with g++ on first use)."""
+
+import numpy as np
+import pytest
+
+from deepfepe_tpu.data.native_loader import (
+    BatchPrefetcher,
+    load_npy,
+    native_available,
+)
+
+
+@pytest.fixture
+def npy_files(tmp_path, rng):
+    arrays = {
+        "f32": rng.rand(100, 5).astype(np.float32),
+        "f64": rng.rand(7,).astype(np.float64),
+        "i32": rng.randint(0, 100, (3, 4, 5)).astype(np.int32),
+        "i64": rng.randint(0, 100, (6,)).astype(np.int64),
+    }
+    paths = {}
+    for name, a in arrays.items():
+        p = tmp_path / f"{name}.npy"
+        np.save(p, a)
+        paths[name] = str(p)
+    return paths, arrays
+
+
+def test_native_build():
+    assert native_available(), "g++ build of npy_loader.cpp failed"
+
+
+def test_load_npy_all_dtypes(npy_files):
+    paths, arrays = npy_files
+    for name in arrays:
+        got = load_npy(paths[name])
+        np.testing.assert_array_equal(got, arrays[name])
+        assert got.dtype == arrays[name].dtype
+
+
+def test_batch_prefetcher(npy_files):
+    paths, arrays = npy_files
+    pf = BatchPrefetcher()
+    names = list(arrays)
+    token = pf.submit([paths[n] for n in names])
+    outs = pf.get(token)
+    for n, got in zip(names, outs):
+        np.testing.assert_array_equal(got, arrays[n])
+
+
+def test_batch_prefetcher_many(tmp_path, rng):
+    # Stress: 64 files through the pool.
+    paths, refs = [], []
+    for i in range(64):
+        a = rng.rand(50, 4).astype(np.float32)
+        p = tmp_path / f"m{i}.npy"
+        np.save(p, a)
+        paths.append(str(p))
+        refs.append(a)
+    pf = BatchPrefetcher()
+    token = pf.submit(paths)
+    outs = pf.get(token)
+    for a, b in zip(refs, outs):
+        np.testing.assert_array_equal(a, b)
