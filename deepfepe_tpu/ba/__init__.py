@@ -1,0 +1,21 @@
+"""Pose-graph / bundle-adjustment refinement (new capability, TPU-first)."""
+
+from .bundle_adjustment import (
+    BAProblem,
+    ba_step,
+    build_normal_blocks,
+    optimize_ba,
+    project,
+    reprojection_residuals,
+    schur_reduce,
+)
+from .distributed import make_distributed_ba_step, shard_ba_inputs
+from .pose_graph import (
+    PoseGraph,
+    edge_residuals,
+    gauss_newton_step,
+    graph_from_odometry,
+    optimize_pose_graph,
+)
+
+__all__ = [k for k in dir() if not k.startswith("_")]

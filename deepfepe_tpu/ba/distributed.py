@@ -1,0 +1,112 @@
+"""Distributed bundle adjustment: points sharded over the mesh, Schur
+complement all-reduced over ICI.
+
+The sequence-parallel analogue identified in SURVEY.md §5.7: the point
+(landmark) axis is the scalable dimension of BA. Each device holds a shard
+of the points + their observation columns, computes its partial normal
+blocks and its partial Schur contribution, and the reduced camera system is
+summed with one `psum` over the `data` axis (XLA lowers it to an ICI
+all-reduce). The dense camera solve is replicated (cameras are few);
+point back-substitution stays local to each shard. Numerics match the
+single-device `ba_step` exactly up to reduction order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..geometry.lie import se3_exp
+from ..parallel.mesh import DATA_AXIS
+from .bundle_adjustment import BAProblem, _jacobians, project
+
+
+def _local_blocks(poses, points_l, obs_l, vis_l, K):
+    """Normal blocks for a local point shard (same math as
+    build_normal_blocks, point axis local)."""
+    p = BAProblem(poses=poses, points=points_l, obs=obs_l, vis=vis_l, K=K)
+    uv, Xc = project(poses, points_l, K)
+    r = (uv - obs_l) * vis_l[..., None]
+    J_cam, J_pt = _jacobians(p, Xc)
+    H_cc = jnp.einsum("cpki,cpkj->cij", J_cam, J_cam)
+    H_pp = jnp.einsum("cpki,cpkj->pij", J_pt, J_pt)
+    W = jnp.einsum("cpki,cpkj->cpij", J_cam, J_pt)
+    b_c = jnp.einsum("cpki,cpk->ci", J_cam, r)
+    b_p = jnp.einsum("cpki,cpk->pi", J_pt, r)
+    cost = 0.5 * jnp.sum(r * r)
+    return H_cc, H_pp, W, b_c, b_p, cost
+
+
+def make_distributed_ba_step(
+    mesh: Mesh, damping: float = 1e-4, fix_cameras: int = 1
+):
+    """Build a jitted sharded BA step.
+
+    Inputs (global shapes): poses [C,4,4] replicated; points [P,3], obs
+    [C,P,2], vis [C,P] sharded on P over the mesh's data axis. P must divide
+    by the axis size.
+    """
+
+    def step(poses, points, obs, vis, K):
+        C = poses.shape[0]
+
+        def shard_fn(poses, points_l, obs_l, vis_l, K):
+            H_cc_l, H_pp_l, W_l, b_c_l, b_p_l, cost_l = _local_blocks(
+                poses, points_l, obs_l, vis_l, K
+            )
+            Hpp_d = H_pp_l + damping * jnp.eye(3, dtype=H_pp_l.dtype)
+            Hpp_inv = jnp.linalg.inv(Hpp_d)
+            WH = jnp.einsum("cpij,pjk->cpik", W_l, Hpp_inv)
+            S_part = -jnp.einsum("apik,bpjk->abij", WH, W_l)
+            g_part = b_c_l - jnp.einsum("cpik,pk->ci", WH, b_p_l)
+
+            # Global reductions over the point shards (ICI all-reduce).
+            H_cc = jax.lax.psum(H_cc_l, DATA_AXIS)
+            S_coupling = jax.lax.psum(S_part, DATA_AXIS)
+            g = jax.lax.psum(g_part, DATA_AXIS)
+            cost = jax.lax.psum(cost_l, DATA_AXIS)
+
+            S = S_coupling
+            S = S.at[jnp.arange(C), jnp.arange(C)].add(
+                H_cc + damping * jnp.eye(6, dtype=H_cc.dtype)
+            )
+            S_full = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+            g_full = g.reshape(C * 6)
+            mask = (jnp.arange(C * 6) >= fix_cameras * 6).astype(S_full.dtype)
+            S_full = S_full * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+            g_full = g_full * mask
+            delta_c = -jnp.linalg.solve(S_full, g_full).reshape(C, 6)
+
+            # Local point back-substitution on this shard only.
+            Wt_dc = jnp.einsum("cpij,ci->pj", W_l, delta_c)
+            delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, b_p_l + Wt_dc)
+
+            new_poses = jax.vmap(se3_exp)(delta_c) @ poses
+            new_points_l = points_l + delta_p
+            return new_poses, new_points_l, cost
+
+        fn = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS), P()),
+            out_specs=(P(), P(DATA_AXIS), P()),
+        )
+        return fn(poses, points, obs, vis, K)
+
+    return jax.jit(step)
+
+
+def shard_ba_inputs(mesh: Mesh, points, obs, vis):
+    """Device-put BA arrays with the point axis sharded."""
+    s_p = NamedSharding(mesh, P(DATA_AXIS))
+    s_cp = NamedSharding(mesh, P(None, DATA_AXIS))
+    return (
+        jax.device_put(points, s_p),
+        jax.device_put(obs, s_cp),
+        jax.device_put(vis, s_cp),
+    )

@@ -1,0 +1,118 @@
+"""Pose-graph optimization over SE(3) (batched Gauss-Newton, jit-able).
+
+Downstream refinement of the two-view pipeline's relative poses (new
+capability per the north star; anchored to the reference's pose chaining
+semantics, eval_tools.get_abs_poses :268): nodes are keyframe world poses
+T_i (world -> frame-i, the same convention chained by eval.vo), edges are
+measured relative transforms T_ij with x_j = T_ij x_i.
+
+Residual per edge: r = log(T_ij_meas⁻¹ · T_j · T_i⁻¹) ∈ se(3). Gauss-Newton
+with analytic-free Jacobians via jax.jacfwd over the (static-size) edge set,
+normal equations assembled by scatter-add and solved densely — fine to a few
+hundred keyframes; the distributed Schur machinery (ba/bundle_adjustment)
+covers the large-scale case.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.lie import se3_exp, se3_log
+
+
+class PoseGraph(NamedTuple):
+    poses: jnp.ndarray     # [N, 4, 4] current world->frame estimates
+    edges: jnp.ndarray     # [E, 2] int (i, j)
+    measurements: jnp.ndarray  # [E, 4, 4] measured T_ij
+    weights: jnp.ndarray   # [E] scalar information weights
+
+
+def edge_residuals(
+    poses: jnp.ndarray, edges: jnp.ndarray, measurements: jnp.ndarray
+) -> jnp.ndarray:
+    """se(3) residuals [E, 6] of all edges."""
+    Ti = poses[edges[:, 0]]
+    Tj = poses[edges[:, 1]]
+    T_rel = Tj @ jnp.linalg.inv(Ti)
+    err = jnp.linalg.inv(measurements) @ T_rel
+    return jax.vmap(se3_log)(err)
+
+
+def _apply_delta(poses: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Left-multiplicative local update: T_i <- exp(δ_i) T_i. δ: [N, 6]."""
+    return jax.vmap(se3_exp)(delta) @ poses
+
+
+def gauss_newton_step(
+    graph: PoseGraph, damping: float = 1e-6, fix_first: bool = True
+) -> Tuple[PoseGraph, jnp.ndarray]:
+    """One (Levenberg-damped) Gauss-Newton step. Returns (graph, mean |r|²)."""
+    N = graph.poses.shape[0]
+
+    def residual_of_delta(delta):
+        poses = _apply_delta(graph.poses, delta.reshape(N, 6))
+        r = edge_residuals(poses, graph.edges, graph.measurements)
+        return (r * jnp.sqrt(graph.weights)[:, None]).ravel()
+
+    delta0 = jnp.zeros(N * 6, graph.poses.dtype)
+    r0 = residual_of_delta(delta0)
+    J = jax.jacfwd(residual_of_delta)(delta0)  # [E*6, N*6]
+
+    H = J.T @ J
+    g = J.T @ r0
+    if fix_first:
+        # Gauge fixing: clamp the first pose by zeroing its rows/cols and
+        # putting identity on its diagonal block.
+        mask = jnp.arange(N * 6) >= 6
+        H = H * mask[:, None] * mask[None, :] + jnp.diag(
+            jnp.where(mask, 0.0, 1.0)
+        )
+        g = g * mask
+    H = H + damping * jnp.eye(N * 6, dtype=H.dtype)
+    delta = -jnp.linalg.solve(H, g)
+    new_poses = _apply_delta(graph.poses, delta.reshape(N, 6))
+    return graph._replace(poses=new_poses), jnp.mean(r0 * r0)
+
+
+def optimize_pose_graph(
+    graph: PoseGraph, iters: int = 10, damping: float = 1e-6
+) -> Tuple[PoseGraph, jnp.ndarray]:
+    """Run `iters` GN steps; returns (graph, per-iter mean residual²)."""
+    errs = []
+    for _ in range(iters):
+        graph, e = gauss_newton_step(graph, damping)
+        errs.append(e)
+    return graph, jnp.stack(errs)
+
+
+def graph_from_odometry(
+    rel_poses: jnp.ndarray,
+    loop_edges: jnp.ndarray | None = None,
+    loop_measurements: jnp.ndarray | None = None,
+    odo_weight: float = 1.0,
+    loop_weight: float = 1.0,
+) -> PoseGraph:
+    """Build a graph from sequential relative poses (+ optional loop
+    closures). rel_poses: [N-1, 4, 4] frame i -> i+1; initial poses chained.
+    """
+    n = rel_poses.shape[0] + 1
+    poses = [jnp.eye(4, dtype=rel_poses.dtype)]
+    for k in range(n - 1):
+        poses.append(rel_poses[k] @ poses[-1])
+    poses = jnp.stack(poses)
+
+    edges = jnp.stack(
+        [jnp.arange(n - 1), jnp.arange(1, n)], axis=-1
+    ).astype(jnp.int32)
+    meas = rel_poses
+    weights = jnp.full((n - 1,), odo_weight, rel_poses.dtype)
+    if loop_edges is not None:
+        edges = jnp.concatenate([edges, loop_edges.astype(jnp.int32)])
+        meas = jnp.concatenate([meas, loop_measurements])
+        weights = jnp.concatenate(
+            [weights, jnp.full((len(loop_edges),), loop_weight, rel_poses.dtype)]
+        )
+    return PoseGraph(poses=poses, edges=edges, measurements=meas, weights=weights)

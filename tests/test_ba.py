@@ -1,0 +1,189 @@
+"""Pose-graph + bundle-adjustment tests, incl. the 8-device sharded path.
+
+Correctness is established against oracles we control (SURVEY.md §7.3):
+synthetic scenes with exact gt, noise-perturbed initializations, and the
+single-device dense implementation as reference for the distributed one.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import random_pose
+from deepfepe_tpu import ba
+from deepfepe_tpu.geometry.lie import se3_exp, se3_log, so3_exp, so3_log
+from deepfepe_tpu.parallel import make_mesh
+
+
+def test_lie_roundtrips(rng):
+    w = rng.randn(32, 3).astype(np.float32) * 0.8
+    R = so3_exp(jnp.asarray(w))
+    w_back = so3_log(R)
+    np.testing.assert_allclose(np.asarray(w_back), w, atol=1e-4)
+
+    xi = rng.randn(16, 6).astype(np.float32) * 0.5
+    T = se3_exp(jnp.asarray(xi))
+    xi_back = jax.vmap(se3_log)(T)
+    np.testing.assert_allclose(np.asarray(xi_back), xi, atol=1e-4)
+    # Valid SE(3): orthonormal rotation, unit bottom row.
+    RtR = np.asarray(jnp.swapaxes(T[:, :3, :3], -1, -2) @ T[:, :3, :3])
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (16, 1, 1)), atol=1e-5)
+
+
+def _make_trajectory(rng, n, drift=0.02):
+    """Ground-truth world->frame poses + noisy odometry measurements."""
+    gt = [np.eye(4)]
+    rels = []
+    for _ in range(n - 1):
+        R, t = random_pose(rng, max_angle_deg=10, t_scale=1.0)
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3] = R, t
+        rels.append(T)
+        gt.append(T @ gt[-1])
+    return np.stack(gt), np.stack(rels)
+
+
+def test_pose_graph_recovers_from_drift(rng):
+    gt, rels = _make_trajectory(rng, 8)
+    # Perturb odometry measurements -> drifting initial chain.
+    noise = [np.asarray(se3_exp(jnp.asarray(
+        rng.randn(6).astype(np.float32) * 0.03))) for _ in rels]
+    rels_noisy = np.stack([n @ r for n, r in zip(noise, rels)])
+    # Loop closure: exact measurement between first and last frame.
+    T_0n = jnp.asarray((gt[-1] @ np.linalg.inv(gt[0])).astype(np.float32))
+    graph = ba.graph_from_odometry(
+        jnp.asarray(rels_noisy, jnp.float32),
+        loop_edges=jnp.asarray([[0, 7]]),
+        loop_measurements=T_0n[None],
+        loop_weight=10.0,
+    )
+    r0 = ba.edge_residuals(graph.poses, graph.edges, graph.measurements)
+    graph2, errs = ba.optimize_pose_graph(graph, iters=8)
+    r1 = ba.edge_residuals(graph2.poses, graph2.edges, graph2.measurements)
+    assert float(jnp.mean(r1**2)) < float(jnp.mean(r0**2)) * 0.5
+    # End pose closer to gt after optimization.
+    end_err0 = np.linalg.norm(np.asarray(graph.poses[-1]) - gt[-1])
+    end_err1 = np.linalg.norm(np.asarray(graph2.poses[-1]) - gt[-1])
+    assert end_err1 < end_err0
+
+
+def _make_ba_problem(rng, C=4, P=64, noise_px=0.0, perturb=0.0):
+    f = 300.0
+    K = np.array([[f, 0, 160.0], [0, f, 120.0], [0, 0, 1.0]])
+    X = np.stack(
+        [rng.uniform(-5, 5, P), rng.uniform(-3, 3, P), rng.uniform(8, 20, P)],
+        -1,
+    )
+    poses = [np.eye(4)]
+    for _ in range(C - 1):
+        R, t = random_pose(rng, max_angle_deg=5, t_scale=0.5)
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3] = R, t
+        poses.append(T @ poses[-1])
+    poses = np.stack(poses)
+    obs = np.zeros((C, P, 2))
+    vis = np.ones((C, P))
+    for c in range(C):
+        Xc = X @ poses[c][:3, :3].T + poses[c][:3, 3]
+        uv = (Xc / Xc[:, 2:3]) @ K.T
+        obs[c] = uv[:, :2] + rng.randn(P, 2) * noise_px
+    # Perturb initial estimates.
+    poses_init = poses.copy()
+    X_init = X + rng.randn(P, 3) * perturb
+    for c in range(1, C):
+        xi = rng.randn(6).astype(np.float32) * perturb * 0.1
+        poses_init[c] = np.asarray(se3_exp(jnp.asarray(xi))) @ poses_init[c]
+    prob = ba.BAProblem(
+        poses=jnp.asarray(poses_init, jnp.float32),
+        points=jnp.asarray(X_init, jnp.float32),
+        obs=jnp.asarray(obs, jnp.float32),
+        vis=jnp.asarray(vis, jnp.float32),
+        K=jnp.asarray(K, jnp.float32),
+    )
+    return prob, poses, X
+
+
+def test_ba_converges_to_gt(rng):
+    prob, poses_gt, X_gt = _make_ba_problem(rng, perturb=0.3)
+    r0, _ = ba.reprojection_residuals(prob)
+    cost0 = float(jnp.sum(r0**2))
+    prob2, costs = ba.optimize_ba(prob, iters=12, damping=1e-4)
+    r1, _ = ba.reprojection_residuals(prob2)
+    cost1 = float(jnp.sum(r1**2))
+    assert cost1 < cost0 * 1e-3, (cost0, cost1)
+
+
+def test_ba_jacobians_match_autodiff(rng):
+    prob, _, _ = _make_ba_problem(rng, C=3, P=16, perturb=0.1)
+    H_cc, H_pp, W, b_c, b_p, cost = ba.build_normal_blocks(prob)
+
+    # Autodiff oracle: full J via jacfwd on flattened (cam tangents, points).
+    C, P = prob.obs.shape[:2]
+
+    def residual(delta_and_points):
+        d_c = delta_and_points[: C * 6].reshape(C, 6)
+        d_p = delta_and_points[C * 6 :].reshape(P, 3)
+        poses = jax.vmap(se3_exp)(d_c) @ prob.poses
+        pts = prob.points + d_p
+        uv, _ = ba.project(poses, pts, prob.K)
+        return ((uv - prob.obs) * prob.vis[..., None]).ravel()
+
+    z = jnp.zeros(C * 6 + P * 3)
+    J = jax.jacfwd(residual)(z)
+    r = residual(z)
+    H = J.T @ J
+    b = J.T @ r
+    H_cc_ref = H[: C * 6, : C * 6].reshape(C, 6, C, 6)
+    H_pp_ref = H[C * 6 :, C * 6 :].reshape(P, 3, P, 3)
+    W_ref = H[: C * 6, C * 6 :].reshape(C, 6, P, 3)
+
+    for c in range(C):
+        np.testing.assert_allclose(
+            np.asarray(H_cc[c]), np.asarray(H_cc_ref[c, :, c]), rtol=2e-2,
+            atol=1e-2,
+        )
+    for p_i in range(P):
+        np.testing.assert_allclose(
+            np.asarray(H_pp[p_i]), np.asarray(H_pp_ref[p_i, :, p_i]),
+            rtol=2e-2, atol=1e-2,
+        )
+    np.testing.assert_allclose(
+        np.asarray(W), np.asarray(W_ref.transpose(0, 2, 1, 3)), rtol=2e-2,
+        atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b_c), np.asarray(b[: C * 6]).reshape(C, 6), rtol=2e-2,
+        atol=1e-2,
+    )
+
+
+def test_distributed_ba_matches_single_device(rng):
+    prob, _, _ = _make_ba_problem(rng, C=3, P=64, perturb=0.2)
+    mesh = make_mesh(n_data=8)
+    step = ba.make_distributed_ba_step(mesh, damping=1e-4, fix_cameras=1)
+    pts_s, obs_s, vis_s = ba.shard_ba_inputs(
+        mesh, prob.points, prob.obs, prob.vis
+    )
+    poses_d, points_d, cost_d = step(prob.poses, pts_s, obs_s, vis_s, prob.K)
+
+    ref, info = ba.ba_step(prob, damping=1e-4, fix_cameras=1)
+    np.testing.assert_allclose(
+        float(cost_d), float(info["cost"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses_d), np.asarray(ref.poses), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(points_d), np.asarray(ref.points), rtol=2e-3, atol=2e-2
+    )
+
+    # And it converges when iterated.
+    poses, pts = prob.poses, pts_s
+    obs, vis = obs_s, vis_s
+    costs = []
+    for _ in range(8):
+        poses, pts, c = step(poses, pts, obs, vis, prob.K)
+        costs.append(float(c))
+    assert costs[-1] < costs[0] * 1e-2, costs
