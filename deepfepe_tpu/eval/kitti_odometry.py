@@ -150,14 +150,17 @@ def compute_rpe(poses_gt: np.ndarray, poses_est: np.ndarray):
 
 
 def evaluate_sequence(
-    poses_gt: np.ndarray, poses_est: np.ndarray, align: str = "scale"
+    poses_gt: np.ndarray,
+    poses_est: np.ndarray,
+    align: str = "scale",
+    lengths: Sequence[float] = LENGTHS,
 ) -> Dict[str, float]:
     """Full kitti-odom-eval style report for one sequence.
 
     The default align='scale' is the protocol behind the reference's
     published results (verified bit-for-bit in tests/test_eval_vo.py)."""
     poses_est = align_trajectory(poses_gt, poses_est, align)
-    errs = calc_sequence_errors(poses_gt, poses_est)
+    errs = calc_sequence_errors(poses_gt, poses_est, lengths=lengths)
     if errs:
         r = np.mean([e[1] for e in errs])
         t = np.mean([e[2] for e in errs])

@@ -36,7 +36,10 @@ def _pose_errors(R_est, t_est, delta_Rtij_inv):
     err_q = rotation_angle_error(R_cam, delta_Rtij_inv[..., :3, :3])
     err_t = vector_angle(t_cam, delta_Rtij_inv[..., :3, 3])
     M_cam = jnp.concatenate([R_cam, t_cam[..., None]], axis=-1)
-    return err_q, err_t, M_cam
+    # Rt (uninverted) is the estimated i->j transform, the form the VO
+    # chaining consumes (reference returns hstack(R, t) the same way,
+    # goodCorr_eval_nondecompose :955).
+    return err_q, err_t, M_cam, Rt
 
 
 def val_rt_batch(
@@ -59,12 +62,13 @@ def val_rt_batch(
     out: Dict[str, jnp.ndarray] = {}
     for name, E in (("est", E_ests), ("gt", E_gts)):
         rec = recover_pose(E, x1n, x2n)
-        err_q, err_t, M_cam = _pose_errors(rec.R, rec.t, delta_inv)
+        err_q, err_t, M_cam, M = _pose_errors(rec.R, rec.t, delta_inv)
         F = E_to_F(E, Ks)
         epi, _, _ = epi_distance(F, x1, x2, if_homo=False)
         out[f"err_q_{name}"] = err_q
         out[f"err_t_{name}"] = err_t
         out[f"M_cam_{name}"] = M_cam
+        out[f"M_{name}"] = M
         out[f"epi_dists_{name}"] = epi
 
     if ransac_key is not None:
@@ -75,13 +79,14 @@ def val_rt_batch(
         )
         E_base = F_to_E(rr.F, Ks)
         rec = recover_pose(E_base, x1n, x2n)
-        err_q, err_t, M_cam = _pose_errors(rec.R, rec.t, delta_inv)
+        err_q, err_t, M_cam, M = _pose_errors(rec.R, rec.t, delta_inv)
         epi, _, _ = epi_distance(rr.F, x1, x2, if_homo=False)
         out.update(
             {
                 "err_q_base": err_q,
                 "err_t_base": err_t,
                 "M_cam_base": M_cam,
+                "M_base": M,
                 "epi_dists_base": epi,
                 "base_inliers": rr.num_inliers,
             }
