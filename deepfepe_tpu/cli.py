@@ -129,9 +129,61 @@ def cmd_eval(args):
     return summary
 
 
+def cmd_val_feature(args):
+    """Frontend-only correspondence-quality eval
+    (parity: evaluation_epiDist.py val_feature :40-250)."""
+    import jax.numpy as jnp
+
+    from .data.synthetic_images import SyntheticImagePairs
+    from .eval.frontend_eval import frontend_epidist_eval
+    from .frontend import FrontendParams, SuperPointNet
+
+    save_dir = os.path.join("logs", args.exper_name)
+    os.makedirs(save_dir, exist_ok=True)
+    ds = SyntheticImagePairs(seed=0)
+    sp_net = SuperPointNet()
+    fp = FrontendParams(out_num_points=300, conf_thresh=1e-3)
+
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(2).items()}
+    params = sp_net.init(
+        jax.random.PRNGKey(0), batch["imgs_grey"][:, 0][..., None]
+    )
+    if args.pretrained:
+        from flax import serialization
+
+        with open(args.pretrained, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+
+    accum = {}
+    n_batches = args.max_batches or 5
+    for i in range(n_batches):
+        batch = {k: jnp.asarray(v) for k, v in ds.batch(2).items()}
+        out = frontend_epidist_eval(
+            sp_net, params,
+            (batch["imgs_grey"][:, 0], batch["imgs_grey"][:, 1]),
+            jnp.asarray(batch["F_gts"]),
+            fp,
+            noise_std=args.rand_noise,
+            noise_key=jax.random.PRNGKey(i) if args.rand_noise else None,
+        )
+        for k, v in out.items():
+            if k.startswith("ratio") or k == "num_matches":
+                accum.setdefault(k, []).append(np.mean(np.asarray(v)))
+    summary = {k: float(np.mean(v)) for k, v in accum.items()}
+    np.savez(Path(save_dir) / "result_dict_all.npz", **summary)
+    print(json.dumps(summary))
+    return summary
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("deepfepe_tpu")
     sub = p.add_subparsers(dest="command", required=True)
+    sp = sub.add_parser("val_feature")
+    sp.add_argument("exper_name")
+    sp.add_argument("--pretrained", default="")
+    sp.add_argument("--max_batches", type=int, default=0)
+    sp.add_argument("--rand_noise", type=float, default=0.0)
+    sp.set_defaults(fn=cmd_val_feature)
     for name, fn in (("train_good", cmd_train), ("eval_good", cmd_eval)):
         sp = sub.add_parser(name)
         sp.add_argument("config")
