@@ -15,6 +15,7 @@ from .decompose import (
     EDecomposition,
     RecoveredPose,
     decompose_E,
+    decompose_E_closed_form,
     recover_pose,
     two_view_depths,
 )

@@ -24,8 +24,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.eigh import DEFAULT_GAP_EPS, safe_eigh
-from .basic import homo
+from ..ops.eigh import DEFAULT_GAP_EPS, safe_eigh, smallest_eigvec
+from .basic import homo, skew
 
 
 class EDecomposition(NamedTuple):
@@ -68,6 +68,43 @@ def decompose_E(E: jnp.ndarray, gap_eps: float = DEFAULT_GAP_EPS, eps: float = 1
     R2 = U @ jnp.swapaxes(Wc, -1, -2) @ Vt
     t = u3 / (jnp.linalg.norm(u3, axis=-1, keepdims=True) + eps)
     return EDecomposition(R1=R1, R2=R2, t=t)
+
+
+def _cofactor_3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Cofactor matrix of [..., 3, 3]: rows are cross products of M's rows."""
+    m1, m2, m3 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    return jnp.stack(
+        [jnp.cross(m2, m3), jnp.cross(m3, m1), jnp.cross(m1, m2)], axis=-2
+    )
+
+
+def decompose_E_closed_form(
+    E: jnp.ndarray, gap_eps: float = DEFAULT_GAP_EPS, eps: float = 1e-12
+) -> EDecomposition:
+    """Horn-style closed-form decomposition — safe gradients at the
+    essential-matrix degeneracy.
+
+    A valid E has singular values (s, s, 0): the top-2 eigenpair of EᵀE is
+    degenerate BY CONSTRUCTION, so any eigh/SVD-based decomposition has
+    ill-defined gradients exactly on the training manifold (the reason the
+    qt loss needs this path). Here only the well-separated null direction is
+    solved spectrally:
+
+      Ê  = √2 · E/‖E‖_F              (unit-baseline normalization)
+      t  = unit left null vector of Ê (smallest eigvec of ÊÊᵀ — gap ≈ s²)
+      R₁ = cof(Ê) − [t]×Ê = U W Vᵀ,   R₂ = cof(Ê) + [t]×Ê = U Wᵀ Vᵀ
+
+    (identity verified exactly for valid E; approximately orthogonal and
+    smooth for noisy E). Candidates are {R₁, R₂} × {t, −t}, matching
+    `decompose_E` / the reference `_get_M2s`.
+    """
+    fro = jnp.sqrt(jnp.sum(E * E, axis=(-1, -2), keepdims=True) + eps)
+    En = E * (jnp.sqrt(jnp.asarray(2.0, E.dtype)) / fro)
+    G = En @ jnp.swapaxes(En, -1, -2)
+    _, t = smallest_eigvec(G, gap_eps)  # [..., 3] unit left null vector
+    C = _cofactor_3x3(En)
+    tE = skew(t) @ En
+    return EDecomposition(R1=C - tE, R2=C + tE, t=t)
 
 
 def two_view_depths(

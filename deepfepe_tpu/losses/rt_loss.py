@@ -21,7 +21,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ..geometry.decompose import decompose_E
+from ..geometry.decompose import decompose_E_closed_form
 from ..geometry.rotations import R_to_q, rotation_angle_error, vector_angle
 
 
@@ -35,8 +35,10 @@ def rt_loss(
 ) -> Dict[str, jnp.ndarray]:
     """Returns per-layer/batch q & t l2 losses (clamped means) and angle
     error metrics."""
-    # Decompose transposed estimates (see module docstring).
-    dec = decompose_E(jnp.swapaxes(E_ests_layers, -1, -2))
+    # Decompose transposed estimates (see module docstring). The closed-form
+    # path keeps gradients well-defined at the (s, s, 0) singular-value
+    # degeneracy that every valid essential matrix sits on.
+    dec = decompose_E_closed_form(jnp.swapaxes(E_ests_layers, -1, -2))
     q1 = R_to_q(dec.R1)  # [L, B, 4]
     q2 = R_to_q(dec.R2)
 

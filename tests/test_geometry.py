@@ -7,6 +7,7 @@ estimates are checked against ground-truth E/F and OpenCV behavior.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from conftest import synthetic_pair
@@ -196,3 +197,36 @@ def test_E_F_from_Rt_consistency(rng):
     )
     np.testing.assert_allclose(np.asarray(E), s["E"], atol=1e-4)
     np.testing.assert_allclose(np.asarray(F), s["F"], atol=1e-6)
+
+
+def test_decompose_E_closed_form_matches_svd(rng):
+    s = synthetic_pair(rng, n=32)
+    E32 = jnp.asarray(s["E"], jnp.float32)
+    dec_cf = geo.decompose_E_closed_form(E32)
+    dec_ev = geo.decompose_E(E32)
+    # Same candidate sets (R1/R2 may swap with t sign conventions; compare
+    # as sets via rotation angle).
+    def rot_close(A, B):
+        return float(geo.rotation_angle_error(A, B)) < 0.1
+
+    assert rot_close(dec_cf.R1, dec_ev.R1) or rot_close(dec_cf.R1, dec_ev.R2)
+    assert rot_close(dec_cf.R2, dec_ev.R1) or rot_close(dec_cf.R2, dec_ev.R2)
+    t_err = min(
+        float(jnp.linalg.norm(dec_cf.t - dec_ev.t)),
+        float(jnp.linalg.norm(dec_cf.t + dec_ev.t)),
+    )
+    assert t_err < 1e-3
+
+    # Exact orthogonality for a valid E.
+    for R in (dec_cf.R1, dec_cf.R2):
+        RtR = np.asarray(R @ jnp.swapaxes(R, -1, -2))
+        np.testing.assert_allclose(RtR, np.eye(3), atol=1e-5)
+
+    # Gradients finite ON the degenerate manifold (the whole point).
+    def loss(E):
+        d = geo.decompose_E_closed_form(E)
+        return jnp.sum(d.R1**2) + jnp.sum(d.t**2)
+
+    g = jax.grad(loss)(E32)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0
