@@ -1,0 +1,186 @@
+"""SuperPoint training: synthetic-shapes detector supervision + descriptor
+loss from warped pairs.
+
+Rebuild of the external `pytorch-superpoint` training capability the
+reference depends on (SURVEY.md §2.2: `Train_model_frontend`): the
+MagicPoint recipe — render synthetic geometric shapes with exactly known
+corner locations, supervise the 65-way cell classifier — plus the
+warped-pair descriptor hinge loss that makes descriptors homography-
+covariant. All on-device and jitted; the homographic-adaptation label
+refinement for real images composes from these pieces + utils.warp.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .superpoint import SuperPointNet
+
+
+# ---------------------------------------------------------------------------
+# Synthetic-shapes data (host-side numpy): images + exact corner labels.
+# ---------------------------------------------------------------------------
+
+
+class SyntheticShapes:
+    """Random polygons / line junctions with known corner keypoints."""
+
+    def __init__(self, image_size: Tuple[int, int] = (120, 160), seed: int = 0):
+        self.H, self.W = image_size
+        self.rng = np.random.RandomState(seed)
+
+    def _draw_line(self, img, p0, p1, value):
+        n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1])) * 2 + 1)
+        xs = np.linspace(p0[0], p1[0], n)
+        ys = np.linspace(p0[1], p1[1], n)
+        for x, y in zip(xs, ys):
+            xi, yi = int(round(x)), int(round(y))
+            if 0 <= xi < self.W and 0 <= yi < self.H:
+                img[max(yi - 1, 0) : yi + 1, max(xi - 1, 0) : xi + 1] = value
+
+    def sample(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (image [H, W] in [0,1], corners [K, 2] xy)."""
+        rng = self.rng
+        img = np.full((self.H, self.W), rng.uniform(0.0, 0.3))
+        corners = []
+        for _ in range(rng.randint(2, 6)):
+            # Random polygon with 3-6 vertices.
+            n_v = rng.randint(3, 7)
+            cx, cy = rng.uniform(20, self.W - 20), rng.uniform(15, self.H - 15)
+            radius = rng.uniform(8, 30)
+            angles = np.sort(rng.uniform(0, 2 * np.pi, n_v))
+            pts = np.stack(
+                [cx + radius * np.cos(angles), cy + radius * np.sin(angles)], -1
+            )
+            val = rng.uniform(0.4, 1.0)
+            for i in range(n_v):
+                self._draw_line(img, pts[i], pts[(i + 1) % n_v], val)
+            for p in pts:
+                if 4 <= p[0] < self.W - 4 and 4 <= p[1] < self.H - 4:
+                    corners.append(p)
+        img += rng.randn(self.H, self.W) * 0.03  # sensor noise
+        img = np.clip(img, 0, 1)
+        return img.astype(np.float32), np.array(corners, np.float32).reshape(-1, 2)
+
+    def batch(self, batch_size: int, max_pts: int = 64) -> Dict[str, np.ndarray]:
+        imgs, labels = [], []
+        for _ in range(batch_size):
+            img, c = self.sample()
+            imgs.append(img)
+            lab = self.corners_to_cells(c)
+            labels.append(lab)
+        return {
+            "image": np.stack(imgs),
+            "cells": np.stack(labels),  # [B, H/8, W/8] int in [0, 64]
+        }
+
+    def corners_to_cells(self, corners: np.ndarray) -> np.ndarray:
+        """Corner pixels -> 65-way cell labels (64 positions + dustbin=64)."""
+        Hc, Wc = self.H // 8, self.W // 8
+        lab = np.full((Hc, Wc), 64, np.int32)  # dustbin
+        for x, y in corners:
+            cx, cy = int(x) // 8, int(y) // 8
+            if 0 <= cx < Wc and 0 <= cy < Hc:
+                lab[cy, cx] = (int(y) % 8) * 8 + (int(x) % 8)
+        return lab
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def detector_loss(semi: jnp.ndarray, cells: jnp.ndarray) -> jnp.ndarray:
+    """65-way cross entropy per 8x8 block (the SuperPoint detector loss)."""
+    logp = jax.nn.log_softmax(semi, axis=-1)  # [B, Hc, Wc, 65]
+    onehot = jax.nn.one_hot(cells, 65, dtype=semi.dtype)
+    return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+
+
+def descriptor_loss(
+    desc1: jnp.ndarray,   # [B, Hc, Wc, D]
+    desc2: jnp.ndarray,
+    H_mat: jnp.ndarray,   # [B, 3, 3] pixel homography img1 -> img2
+    pos_margin: float = 1.0,
+    neg_margin: float = 0.2,
+    lambda_d: float = 250.0,
+    cell: int = 8,
+) -> jnp.ndarray:
+    """Dense hinge descriptor loss between a warped image pair
+    (SuperPoint eq. 4): cells that correspond under H are positives."""
+    B, Hc, Wc, D = desc1.shape
+    ys, xs = jnp.meshgrid(
+        jnp.arange(Hc, dtype=desc1.dtype), jnp.arange(Wc, dtype=desc1.dtype),
+        indexing="ij",
+    )
+    centers = jnp.stack(
+        [xs * cell + cell / 2, ys * cell + cell / 2, jnp.ones_like(xs)], -1
+    ).reshape(-1, 3)  # [Hc*Wc, 3]
+    warped = jnp.einsum("bij,nj->bni", H_mat, centers)
+    warped = warped[..., :2] / (warped[..., 2:3] + 1e-9)  # [B, N, 2]
+    c2 = centers[:, :2]  # [N, 2]
+    # Correspondence indicator: warped center of cell i within half a cell of
+    # cell j's center.
+    d2 = jnp.sum(
+        (warped[:, :, None, :] - c2[None, None, :, :]) ** 2, axis=-1
+    )  # [B, N, N]
+    s = (d2 <= (cell / 2.0) ** 2).astype(desc1.dtype)
+
+    d1 = desc1.reshape(B, -1, D)
+    d2f = desc2.reshape(B, -1, D)
+    dot = jnp.einsum("bnd,bmd->bnm", d1, d2f)
+    pos = jnp.maximum(0.0, pos_margin - dot)
+    neg = jnp.maximum(0.0, dot - neg_margin)
+    loss = lambda_d * s * pos + (1.0 - s) * neg
+    return jnp.mean(loss)
+
+
+# ---------------------------------------------------------------------------
+# Train steps
+# ---------------------------------------------------------------------------
+
+
+def make_detector_train_step(net: SuperPointNet, tx: optax.GradientTransformation):
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            outs = net.apply(p, batch["image"][..., None])
+            return detector_loss(outs["semi"], batch["cells"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_joint_sp_train_step(
+    net: SuperPointNet, tx: optax.GradientTransformation,
+    desc_weight: float = 1e-4,
+):
+    """Detector CE on image 1 + dense descriptor loss across the warped pair."""
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            o1 = net.apply(p, batch["image"][..., None])
+            o2 = net.apply(p, batch["image2"][..., None])
+            l_det = detector_loss(o1["semi"], batch["cells"])
+            l_desc = descriptor_loss(o1["desc"], o2["desc"], batch["H"])
+            return l_det + desc_weight * l_desc, (l_det, l_desc)
+
+        (loss, (l_det, l_desc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "det": l_det, "desc": l_desc}
+
+    return step

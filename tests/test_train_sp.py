@@ -1,0 +1,120 @@
+"""SuperPoint pretraining tests: synthetic shapes, detector CE, descriptor
+hinge loss, and a short training run that must improve corner detection."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deepfepe_tpu.frontend import SuperPointNet, flatten_detection
+from deepfepe_tpu.frontend.process import nms_heatmap, topk_keypoints
+from deepfepe_tpu.frontend.train_sp import (
+    SyntheticShapes,
+    descriptor_loss,
+    detector_loss,
+    make_detector_train_step,
+    make_joint_sp_train_step,
+)
+
+
+def test_synthetic_shapes_labels():
+    ds = SyntheticShapes(image_size=(64, 96), seed=0)
+    img, corners = ds.sample()
+    assert img.shape == (64, 96)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    lab = ds.corners_to_cells(corners)
+    assert lab.shape == (8, 12)
+    # Cells containing corners are not dustbin (last-writer-wins when
+    # multiple corners share a cell), and the label decodes to one of the
+    # corners in that cell.
+    from collections import defaultdict
+
+    per_cell = defaultdict(list)
+    for x, y in corners:
+        cx, cy = int(x) // 8, int(y) // 8
+        if 0 <= cx < 12 and 0 <= cy < 8:
+            per_cell[(cy, cx)].append((int(y) % 8) * 8 + (int(x) % 8))
+    for (cy, cx), cands in per_cell.items():
+        assert lab[cy, cx] in cands
+
+
+def test_detector_loss_perfect_prediction_is_small():
+    ds = SyntheticShapes(image_size=(64, 96), seed=1)
+    b = ds.batch(2)
+    cells = jnp.asarray(b["cells"])
+    # Logits exactly matching labels -> tiny CE.
+    semi = jax.nn.one_hot(cells, 65) * 50.0
+    assert float(detector_loss(semi, cells)) < 1e-3
+    # Uniform logits -> log(65).
+    semi0 = jnp.zeros_like(semi)
+    np.testing.assert_allclose(
+        float(detector_loss(semi0, cells)), np.log(65.0), rtol=1e-5
+    )
+
+
+def test_descriptor_loss_identity_homography():
+    # With H = I, matching cells are positives: identical descriptors give
+    # (pos_margin - 1) hinge = 0 on positives, (1 - neg_margin) on the
+    # diagonal-off terms... just check: loss(identical desc) <
+    # loss(random desc).
+    rng = np.random.RandomState(0)
+    d = rng.randn(1, 6, 8, 16).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    H = jnp.eye(3)[None]
+    l_same = float(descriptor_loss(jnp.asarray(d), jnp.asarray(d), H))
+    d2 = rng.randn(1, 6, 8, 16).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    l_diff = float(descriptor_loss(jnp.asarray(d), jnp.asarray(d2), H))
+    assert l_same < l_diff
+
+
+def test_detector_training_improves_detection():
+    ds = SyntheticShapes(image_size=(64, 96), seed=2)
+    net = SuperPointNet()
+    batch0 = ds.batch(4)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(batch0["image"])[..., None])
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    step = make_detector_train_step(net, tx)
+
+    losses = []
+    for i in range(60):
+        b = ds.batch(4)
+        jb = {"image": jnp.asarray(b["image"]), "cells": jnp.asarray(b["cells"])}
+        params, opt_state, loss = step(params, opt_state, jb)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+    # After training, detected top-k keypoints should land near gt corners
+    # more often than chance.
+    img, corners = ds.sample()
+    outs = net.apply(params, jnp.asarray(img)[None, ..., None])
+    hm = flatten_detection(outs["semi"])
+    kpts = topk_keypoints(nms_heatmap(hm, 4), k=20, conf_thresh=0.0)
+    det = np.asarray(kpts.xy[0])
+    if len(corners):
+        dists = np.linalg.norm(det[:, None] - corners[None], axis=-1).min(1)
+        assert np.median(dists) < 16.0, np.median(dists)
+
+
+def test_joint_sp_step_runs():
+    ds = SyntheticShapes(image_size=(64, 96), seed=3)
+    b = ds.batch(2)
+    # Identity-warped pair (translation) with its homography.
+    H = np.array([[1.0, 0, 2.0], [0, 1.0, 0.0], [0, 0, 1]], np.float32)
+    img2 = np.roll(b["image"], -2, axis=2)  # shift left == warp by H
+    net = SuperPointNet()
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(b["image"])[..., None])
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    step = make_joint_sp_train_step(net, tx)
+    jb = {
+        "image": jnp.asarray(b["image"]),
+        "image2": jnp.asarray(img2),
+        "cells": jnp.asarray(b["cells"]),
+        "H": jnp.asarray(np.tile(H, (2, 1, 1))),
+    }
+    params, opt_state, metrics = step(params, opt_state, jb)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["desc"]))
