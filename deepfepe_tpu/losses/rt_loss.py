@@ -32,13 +32,23 @@ def rt_loss(
     R_gt: jnp.ndarray,           # [B, 3, 3] rotation of the inverse rel. pose
     loss_q_clamp: float = 0.1,
     loss_t_clamp: float = 0.5,
+    decomp_gap_eps: float = 1e-4,
 ) -> Dict[str, jnp.ndarray]:
     """Returns per-layer/batch q & t l2 losses (clamped means) and angle
-    error metrics."""
+    error metrics.
+
+    `decomp_gap_eps` broadens the null-space eigengap in the backward pass:
+    near-rank-1 E estimates otherwise emit t-gradients 1/gap ~ 1e4-1e6 that
+    destroy training (measured; the F-loss gradient norm is ~0.1, the
+    unbroadened t-term spikes to 50+ per batch and the qt stage diverges).
+    1e-4 bounds the t-term at F-loss-comparable norms while leaving
+    well-conditioned items' gradients untouched."""
     # Decompose transposed estimates (see module docstring). The closed-form
     # path keeps gradients well-defined at the (s, s, 0) singular-value
     # degeneracy that every valid essential matrix sits on.
-    dec = decompose_E_closed_form(jnp.swapaxes(E_ests_layers, -1, -2))
+    dec = decompose_E_closed_form(
+        jnp.swapaxes(E_ests_layers, -1, -2), gap_eps=decomp_gap_eps
+    )
     q1 = R_to_q(dec.R1)  # [L, B, 4]
     q2 = R_to_q(dec.R2)
 
