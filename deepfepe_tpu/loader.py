@@ -63,5 +63,6 @@ def model_loader(cfg: Config) -> DeepFNet:
         des_size=m.des_size,
         if_tri_depth=m.if_tri_depth,
         if_sample_loss=m.if_sample_loss,
+        if_goodCorresArch=m.if_goodCorresArch,
         mlp_dtype=mlp_dtype,
     )

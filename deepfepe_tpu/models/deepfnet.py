@@ -68,14 +68,28 @@ class DeepFNet(nn.Module):
     if_sample_loss: bool = False
     sample_topk: int = 20
     sample_selects: int = 100
+    # Legacy global-context weight net (ref: if_goodCorresArch,
+    # DeepFNet.py:335-338 -> GoodCorresNet).
+    if_goodCorresArch: bool = False
 
     def setup(self):
         q = self.quality_size if self.if_quality else 0
         d = self.des_size if self.if_des else 0
         tri = 1 if self.if_tri_depth else 0
-        self.input_weights = ErrorEstimator(output_size=1, dtype=self.mlp_dtype)
-        # +3 for [weights, epi_res, residual] (+1 tri depth), DeepFNet.py:341.
-        self.update_weights = ErrorEstimator(output_size=1, dtype=self.mlp_dtype)
+        if self.if_goodCorresArch:
+            from .error_estimator import GoodCorresNet
+
+            self.input_weights = GoodCorresNet(output_size=1)
+            self.update_weights = GoodCorresNet(output_size=1)
+        else:
+            self.input_weights = ErrorEstimator(
+                output_size=1, dtype=self.mlp_dtype
+            )
+            # +3 for [weights, epi_res, residual] (+1 tri depth),
+            # DeepFNet.py:341.
+            self.update_weights = ErrorEstimator(
+                output_size=1, dtype=self.mlp_dtype
+            )
         self._in_ch = 4 + q + d
         self._update_ch = 4 + q + d + 3 + tri
         if self.if_learn_offsets:

@@ -1,5 +1,15 @@
 """Core numeric ops: batched eigensolves and the weighted 8-point solve."""
 
+import jax.numpy as _jnp
+
+
+def set_nan2zero(x, name: str = "network"):
+    """NaN/Inf scrub (parity: models/model_utils.set_nan2zero :5). The safe
+    eigensolver makes this unnecessary on the solver path; kept for input
+    sanitization of external data."""
+    return _jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+
+
 from .eigh import (
     DEFAULT_GAP_EPS,
     safe_eigh,

@@ -313,3 +313,34 @@ def test_io_utils(tmp_path, rng):
 
     merged = io.dict_update({"x": 1, "y": {"z": 2}}, {"y": {"w": 3}})
     assert merged == {"x": 1, "y": {"z": 2, "w": 3}}
+
+
+def test_metrics_summary(rng):
+    from deepfepe_tpu.eval.metrics_summary import summarize, weight_f1
+
+    err_q = rng.rand(100) * 5
+    err_t = rng.rand(100) * 20
+    s = summarize(err_q, err_t, epi_dists=rng.rand(100, 50) * 2)
+    assert s["ratio_q@5"] >= s["ratio_q@1"]
+    assert 0 <= s["epi_ratio@0.1"] <= s["epi_ratio@1.0"] <= 1
+
+    # weight F1: perfect weights (high exactly on inliers) -> F1 = 1.
+    N = 64
+    d_gt = np.where(np.arange(N) < 32, 0.1, 10.0)
+    w = np.where(np.arange(N) < 32, 2.0 / N, 1e-6)
+    f = weight_f1(w[None], d_gt[None])
+    assert f["weight_f1"] > 0.99
+
+
+def test_goodcorres_arch_variant():
+    from deepfepe_tpu.data import SyntheticPairs
+    from deepfepe_tpu.models import DeepFNet
+
+    ds = SyntheticPairs(good_num=64, seed=12)
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(2).items()}
+    net = DeepFNet(
+        depth=2, image_size=(376, 1241), if_quality=True, if_goodCorresArch=True
+    )
+    params = net.init(jax.random.PRNGKey(0), batch)
+    outs = net.apply(params, batch)
+    assert np.all(np.isfinite(np.asarray(outs["F_est"])))
