@@ -88,6 +88,7 @@ class Trainer:
         )
         self.rng_seed = rng_seed
         self.state: Optional[TrainState] = None
+        self._best_val = float("inf")
 
     def init_state(self, example_batch: Dict) -> TrainState:
         batch = shard_batch(self.mesh, example_batch)
@@ -161,6 +162,18 @@ class Trainer:
             count += 1
         means = {k: v / max(count, 1) for k, v in accum.items()}
         self.logger.log(self.n_iter, "val", means)
+        # Best-checkpoint selection (the reference's model zoo picks specific
+        # iterations by val; here it's automatic): keep the lowest val loss.
+        key = "loss" if "loss" in means else "loss_F"
+        if self.save_dir and means.get(key) is not None:
+            if means[key] < self._best_val:
+                self._best_val = means[key]
+                save_checkpoint(
+                    os.path.join(
+                        self.save_dir, "checkpoints", "deepFNet_best_checkpoint.msgpack"
+                    ),
+                    self.state,
+                )
         return means
 
     def save(self, n_iter: int) -> str:
