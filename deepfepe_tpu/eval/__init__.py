@@ -9,6 +9,7 @@ from .kitti_odometry import (
     load_poses_txt,
     umeyama_alignment,
 )
+from .opencv_baseline import recover_camera_opencv
 from .ransac import RansacResult, ransac_f, ransac_f_batch
 from .val_rt import inlier_ratios, val_rt_batch
 from .vo import (

@@ -344,3 +344,26 @@ def test_goodcorres_arch_variant():
     params = net.init(jax.random.PRNGKey(0), batch)
     outs = net.apply(params, batch)
     assert np.all(np.isfinite(np.asarray(outs["F_est"])))
+
+
+def test_recover_camera_opencv_baseline(rng):
+    from deepfepe_tpu.eval.opencv_baseline import recover_camera_opencv
+
+    s = synthetic_pair(rng, n=200, noise=0.3, outlier_frac=0.2)
+    T = np.eye(4)
+    T[:3, :3], T[:3, 3] = s["R"], s["t"]
+    delta_inv = np.linalg.inv(T)
+
+    for five_point in (False, True):
+        M, (err_R, err_t), mask, E_ret = recover_camera_opencv(
+            s["K"], s["x1"], s["x2"], delta_inv,
+            five_point=five_point, threshold=0.5,
+        )
+        assert M.shape == (3, 4)
+        assert err_R < 1.0, (five_point, err_R)
+        assert err_t < 5.0, (five_point, err_t)
+        assert mask.sum() > 50
+        if five_point:
+            assert np.asarray(E_ret).shape == (3, 3)
+        else:
+            assert len(E_ret) == 2
