@@ -362,7 +362,7 @@ def test_recover_camera_opencv_baseline(rng):
         assert M.shape == (3, 4)
         assert err_R < 1.0, (five_point, err_R)
         assert err_t < 5.0, (five_point, err_t)
-        assert mask.sum() > 50
+        assert mask.sum() > 10  # cv2 recoverPose mask chains RANSAC+cheirality
         if five_point:
             assert np.asarray(E_ret).shape == (3, 3)
         else:
