@@ -19,6 +19,7 @@ from .decompose import (
     recover_pose,
     two_view_depths,
 )
+from .homography import homography_from_points, homography_transfer_error
 from .epipolar import (
     E_F_from_Rt,
     E_to_F,

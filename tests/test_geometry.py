@@ -230,3 +230,36 @@ def test_decompose_E_closed_form_matches_svd(rng):
     g = jax.grad(loss)(E32)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_homography_dlt(rng):
+    H_true = np.array(
+        [[1.05, 0.02, 8.0], [-0.01, 0.98, -5.0], [1e-4, -5e-5, 1.0]]
+    )
+    x1 = rng.rand(3, 40, 2) * 200
+    x1h = np.concatenate([x1, np.ones((3, 40, 1))], -1)
+    x2h = x1h @ H_true.T
+    x2 = x2h[..., :2] / x2h[..., 2:3]
+
+    H_est = geo.homography_from_points(
+        jnp.asarray(x1, jnp.float64), jnp.asarray(x2, jnp.float64)
+    )
+    for b in range(3):
+        np.testing.assert_allclose(np.asarray(H_est[b]), H_true, atol=1e-6)
+
+    err = geo.homography_transfer_error(
+        H_est, jnp.asarray(x1, jnp.float64), jnp.asarray(x2, jnp.float64)
+    )
+    assert float(jnp.max(err)) < 1e-5
+
+    # Weighted: outliers downweighted to zero recovers H.
+    x2_noisy = x2.copy()
+    x2_noisy[:, :10] += 50.0
+    w = np.ones((3, 40))
+    w[:, :10] = 0.0
+    H_w = geo.homography_from_points(
+        jnp.asarray(x1, jnp.float64), jnp.asarray(x2_noisy, jnp.float64),
+        weights=jnp.asarray(w),
+    )
+    for b in range(3):
+        np.testing.assert_allclose(np.asarray(H_w[b]), H_true, atol=1e-5)
