@@ -28,7 +28,8 @@ BATCH = 64  # throughput-optimal on v5e (5089 pairs/s vs 3239 at B=32)
 N_POINTS = 1000
 DEPTH = 5
 WARMUP = 3
-ITERS = 20
+ITERS = 50
+REPEATS = 3
 
 
 def main():
@@ -76,10 +77,15 @@ def main():
         return time.perf_counter() - t0
 
     # Marginal-cost protocol: (t[2k] - t[k]) / k cancels the fixed
-    # enqueue/sync overhead of the host<->device link.
-    t_short = run(ITERS)
-    t_long = run(2 * ITERS)
-    dt = max(t_long - t_short, 1e-9) / ITERS
+    # enqueue/sync overhead of the host<->device link. The final sync's
+    # latency is noisy on tunneled platforms, so take the best of several
+    # repeats (min marginal time).
+    dts = []
+    for _ in range(REPEATS):
+        t_short = run(ITERS)
+        t_long = run(2 * ITERS)
+        dts.append(max(t_long - t_short, 1e-9) / ITERS)
+    dt = min(dts)
 
     pairs_per_s = BATCH / dt
     print(
