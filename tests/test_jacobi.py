@@ -60,3 +60,58 @@ def test_eigh9_pallas_interpret_matches_jacobi(rng):
     np.testing.assert_allclose(
         np.abs(np.asarray(V_p)), np.abs(np.asarray(V_j)), atol=1e-4
     )
+
+
+def test_epi_residual_pallas_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepfepe_tpu.geometry.epipolar import compute_epi_residual
+    from deepfepe_tpu.ops.pallas import epi_residual_pallas
+
+    B, N = 2, 64
+    p1 = rng.randn(B, N, 3).astype(np.float32)
+    p2 = rng.randn(B, N, 3).astype(np.float32)
+    p1[..., 2] = 1.0
+    p2[..., 2] = 1.0
+    F = rng.randn(B, 3, 3).astype(np.float32)
+    ref = np.asarray(
+        compute_epi_residual(jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(F), 0.5)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            epi_residual_pallas(jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(F), 0.5)
+        )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_matcher_pallas_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepfepe_tpu.frontend.matching import mutual_nn_match
+    from deepfepe_tpu.ops.pallas import mutual_nn_pallas
+
+    B, K, D = 2, 32, 16
+    d1 = rng.randn(B, K, D).astype(np.float32)
+    d2 = rng.randn(B, K, D).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    valid = np.ones((B, K), bool)
+    with pltpu.force_tpu_interpret_mode():
+        nn12, nn21, dist12, mutual = mutual_nn_pallas(
+            jnp.asarray(d1), jnp.asarray(d2),
+            jnp.asarray(valid), jnp.asarray(valid),
+        )
+    ref = mutual_nn_match(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(valid),
+        jnp.asarray(valid), nn_thresh=10.0, num_matches=K,
+    )
+    # Same mutual pair set.
+    got_pairs = {
+        (b, int(nn12[b, i]), i)
+        for b in range(B) for i in range(K) if bool(mutual[b, i])
+    }
+    ref_pairs = {
+        (b, int(ref.idx2[b, j]), int(ref.idx1[b, j]))
+        for b in range(B) for j in range(K) if bool(ref.valid[b, j])
+    }
+    assert got_pairs == ref_pairs
