@@ -86,3 +86,40 @@ def get_matches_from_sp(
         "kpts2": k2,
         "matches": m,
     }
+
+
+class ValModelHeatmap:
+    """Inference wrapper parity with the reference `Val_model_heatmap`
+    (Val_model_heatmap.py:26-201): config-driven SuperPoint forward +
+    heatmap→NMS points→subpixel soft-argmax→sparse descriptors."""
+
+    def __init__(self, params, config: Dict | None = None, net=None):
+        c = config or {}
+        self.net = net or SuperPointNet()
+        self.params = params
+        self.fp = FrontendParams(
+            out_num_points=c.get("top_k", c.get("out_num_points", 1000)),
+            patch_size=c.get("patch_size", 5),
+            nms_dist=c.get("nms_dist", 4),
+            conf_thresh=c.get("conf_thresh", 0.015),
+            nn_thresh=c.get("nn_thresh", 1.0),
+        )
+        self._last = None
+
+    def run(self, images: jnp.ndarray) -> Keypoints:
+        """images: [B, H, W] grayscale in [0, 1] -> Keypoints (+desc)."""
+        self._last = run_superpoint(self.net, self.params, images, self.fp)
+        return self._last
+
+    def heatmap_to_pts(self):
+        """[B, K, 3] (x, y, score) of the last run (ref :108)."""
+        k = self._last
+        import jax.numpy as jnp  # local alias for clarity
+
+        return jnp.concatenate(
+            [k.xy + k.offsets, k.scores[..., None]], axis=-1
+        )
+
+    def desc_to_sparse_desc(self):
+        """[B, K, D] sparse descriptors of the last run (ref :145)."""
+        return self._last.desc

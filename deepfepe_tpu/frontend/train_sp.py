@@ -184,3 +184,19 @@ def make_joint_sp_train_step(
         return params, opt_state, {"loss": loss, "det": l_det, "desc": l_desc}
 
     return step
+
+
+def warp_labels(
+    corners: np.ndarray, H_mat: np.ndarray, image_size: Tuple[int, int]
+) -> np.ndarray:
+    """Warp keypoint labels by a homography and drop out-of-bounds points
+    (parity: datasets/data_tools.warpLabels :37) — the label half of
+    homographic adaptation."""
+    Hh, Ww = image_size
+    if len(corners) == 0:
+        return corners
+    pts_h = np.concatenate([corners, np.ones((len(corners), 1))], axis=1)
+    w = pts_h @ H_mat.T
+    w = w[:, :2] / (w[:, 2:3] + 1e-12)
+    ok = (w[:, 0] >= 0) & (w[:, 0] < Ww) & (w[:, 1] >= 0) & (w[:, 1] < Hh)
+    return w[ok].astype(np.float32)

@@ -141,3 +141,29 @@ def test_full_frontend_pipeline_and_gradient(rng):
         float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g)
     )
     assert np.isfinite(total) and total > 0
+
+
+def test_val_model_heatmap_wrapper(rng):
+    from deepfepe_tpu.frontend import SuperPointNet, ValModelHeatmap
+
+    net = SuperPointNet()
+    imgs = jnp.asarray(rng.rand(1, 64, 96).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), imgs[..., None])
+    vm = ValModelHeatmap(params, {"top_k": 32, "conf_thresh": 1e-4}, net=net)
+    kpts = vm.run(imgs)
+    pts = np.asarray(vm.heatmap_to_pts())
+    desc = np.asarray(vm.desc_to_sparse_desc())
+    assert pts.shape == (1, 32, 3)
+    assert desc.shape == (1, 32, 256)
+    assert np.all(np.isfinite(pts))
+
+
+def test_warp_labels(rng):
+    from deepfepe_tpu.frontend.train_sp import warp_labels
+
+    H = np.array([[1.0, 0, 10.0], [0, 1.0, -5.0], [0, 0, 1]])
+    corners = np.array([[5.0, 10.0], [50.0, 30.0], [90.0, 60.0]])
+    out = warp_labels(corners, H, (64, 96))
+    # First corner: (15, 5) in-bounds; third: (100, 55) out of x-range.
+    assert len(out) == 2
+    np.testing.assert_allclose(out[0], [15.0, 5.0])
