@@ -26,7 +26,7 @@ def _build(args):
     from .train import Trainer, load_config
 
     cfg = load_config(args.config)
-    if args.train_iter is not None:
+    if getattr(args, "train_iter", None) is not None:
         cfg.training.train_iter = args.train_iter
     save_dir = os.path.join("logs", args.exper_name)
     os.makedirs(save_dir, exist_ok=True)
@@ -129,6 +129,104 @@ def cmd_eval(args):
     return summary
 
 
+def cmd_eval_vo(args):
+    """Full VO evaluation: estimate every consecutive pair, chain, export the
+    KITTI 12-col trajectory, report trans%/rot/ATE/RPE (the reference's
+    eval_good -> notebook -> kitti-odom-eval pipeline as ONE command)."""
+    import jax.numpy as jnp
+
+    from .eval import (
+        chain_relative_poses,
+        evaluate_sequence,
+        export_poses_kitti,
+        val_rt_batch,
+    )
+    from .parallel import shard_batch
+    from .train import load_config
+
+    cfg, net, trainer, save_dir = _build(args)
+    bs = cfg.data.batch_size
+
+    if cfg.data.dataset == "synthetic":
+        from .data.synthetic_sequence import SyntheticSequence
+
+        seq = SyntheticSequence(
+            n_frames=args.n_frames or 60,
+            good_num=cfg.data.good_num,
+            noise_px=cfg.data.noise_px,
+            outlier_frac=cfg.data.outlier_frac,
+            seed=123,
+        )
+        batch_iter = seq.pair_batches(bs)
+        gt_traj = seq.gt_trajectory()
+        lengths = (5.0, 10.0, 20.0, 40.0)
+    else:
+        from .loader import data_loader
+
+        ds = data_loader(cfg, "test")
+        batch_iter = ds.ordered_pair_batches(bs, scene_name=args.scene or None)
+        gt_traj = None  # chained below from gt relative poses
+        lengths = None  # KITTI default 100..800m
+
+    first = None
+    rels_est, rels_gt, errqs, errts = [], [], [], []
+    key = jax.random.PRNGKey(0)
+    use_baseline = args.baseline
+    for batch in batch_iter:
+        b = shard_batch(trainer.mesh, batch)
+        if first is None:
+            first = batch
+            if trainer.state is None:
+                if args.pretrained:
+                    trainer.restore(args.pretrained, batch)
+                else:
+                    trainer.init_state(batch)
+        key, sub = jax.random.split(key)
+        metrics = trainer.eval_step(trainer.state.params, b)
+        E_est = metrics["E_ests"]
+        rt = val_rt_batch(
+            E_est, b["Ks"], b["matches_xy_ori"], b["E_gts"],
+            b["delta_Rtijs_4_4"],
+            ransac_key=sub if use_baseline else None,
+        )
+        M = np.asarray(rt["M_base" if use_baseline else "M_est"])
+        eq = np.asarray(rt["err_q_base" if use_baseline else "err_q_est"])
+        et = np.asarray(rt["err_t_base" if use_baseline else "err_t_est"])
+        frames = np.asarray(batch["frame_i"]) if "frame_i" in batch else None
+        for i in range(M.shape[0]):
+            fidx = int(frames[i]) if frames is not None else len(rels_est)
+            if fidx == len(rels_est):  # skip padded duplicates
+                rels_est.append(M[i])
+                rels_gt.append(np.asarray(batch["delta_Rtijs_4_4"][i]))
+                errqs.append(float(eq[i]))
+                errts.append(float(et[i]))
+
+    traj_est = chain_relative_poses(np.stack(rels_est))
+    if gt_traj is None:
+        gt_traj = chain_relative_poses(np.stack(rels_gt))
+    export_poses_kitti(traj_est, os.path.join(save_dir, "trajectory_est.txt"))
+    export_poses_kitti(gt_traj, os.path.join(save_dir, "trajectory_gt.txt"))
+
+    kw = {"lengths": lengths} if lengths else {}
+    report = evaluate_sequence(gt_traj, traj_est, align="scale", **kw)
+    report["median_err_q"] = float(np.median(errqs))
+    report["median_err_t"] = float(np.median(errts))
+    report["n_pairs"] = len(rels_est)
+    # result.txt in the reference's format (results/*/result.txt).
+    with open(os.path.join(save_dir, "result.txt"), "w") as f:
+        f.write(f"Sequence: \t {args.scene or 'synthetic'} \n")
+        f.write(f"Trans. err. (%): \t {report['trans_err_pct']:.3f} \n")
+        f.write(
+            f"Rot. err. (deg/100m): \t {report['rot_err_deg_per_100m']:.3f} \n"
+        )
+        f.write(f"ATE (m): \t {report['ATE_m']:.3f} \n")
+        f.write(f"RPE (m): \t {report['RPE_m']:.3f} \n")
+        f.write(f"RPE (deg): \t {report['RPE_deg']:.3f} \n")
+    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                      for k, v in report.items()}))
+    return report
+
+
 def cmd_val_feature(args):
     """Frontend-only correspondence-quality eval
     (parity: evaluation_epiDist.py val_feature :40-250)."""
@@ -184,6 +282,15 @@ def main(argv=None):
     sp.add_argument("--max_batches", type=int, default=0)
     sp.add_argument("--rand_noise", type=float, default=0.0)
     sp.set_defaults(fn=cmd_val_feature)
+    sp = sub.add_parser("eval_vo")
+    sp.add_argument("config")
+    sp.add_argument("exper_name")
+    sp.add_argument("--pretrained", default="")
+    sp.add_argument("--scene", default="")
+    sp.add_argument("--n_frames", type=int, default=0)
+    sp.add_argument("--baseline", action="store_true",
+                    help="use the RANSAC-8pt baseline instead of the net")
+    sp.set_defaults(fn=cmd_eval_vo)
     for name, fn in (("train_good", cmd_train), ("eval_good", cmd_eval)):
         sp = sub.add_parser(name)
         sp.add_argument("config")

@@ -198,3 +198,30 @@ class KittiCorrDataset:
             out["pts1_virt"] = np.asarray(p1v, np.float32)
             out["pts2_virt"] = np.asarray(p2v, np.float32)
             yield out
+
+    def ordered_pair_batches(
+        self, batch_size: int, scene_name: Optional[str] = None
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Frame-ordered consecutive-pair batches for one scene (VO eval).
+        The last partial batch is padded by repeating the final pair; each
+        item carries 'frame_i' for de-duplication."""
+        idxs = [
+            k for k, s in enumerate(self.samples)
+            if scene_name is None or s["scene_name"] == scene_name
+        ]
+        idxs.sort(key=lambda k: self.samples[k]["i"])
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            items = [self.get_item(k) for k in chunk]
+            for it, k in zip(items, chunk):
+                it["frame_i"] = np.int32(self.samples[k]["i"])
+            while len(items) < batch_size:
+                items.append(items[-1])
+            out = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            F = jnp.asarray(out["F_gts"])
+            p1v, p2v = get_virtual_points(
+                F, self.resize, iters=self.virtual_iters
+            )
+            out["pts1_virt"] = np.asarray(p1v, np.float32)
+            out["pts2_virt"] = np.asarray(p2v, np.float32)
+            yield out
