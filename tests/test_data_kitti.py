@@ -135,3 +135,33 @@ def test_kitti_loader_resize_scales_K(fake_dump):
         jnp.asarray(item["matches_xy_ori"][None, :, 2:4]),
     )
     assert float(jnp.mean(d)) < 0.1
+
+
+def test_ordered_pair_batches(fake_dump):
+    ds = KittiCorrDataset(
+        str(fake_dump), good_num=64, image_size=(376, 1241), seed=0
+    )
+    # Frame-ordered batches for one scene, with frame_i indices.
+    seen = []
+    for batch in ds.ordered_pair_batches(4, scene_name="00"):
+        assert batch["matches_xy_ori"].shape[0] == 4
+        seen.extend(int(f) for f in batch["frame_i"])
+    # 5 pairs in scene 00; last batch pads by repeating the final pair.
+    assert seen[:5] == [0, 1, 2, 3, 4]
+    assert len(seen) == 8 and seen[5:] == [4, 4, 4]
+
+    # Chaining gt relative poses of the ordered pairs reproduces the scene
+    # trajectory (the eval_vo gt path).
+    from deepfepe_tpu.eval import chain_relative_poses
+
+    rels = []
+    for batch in ds.ordered_pair_batches(4, scene_name="00"):
+        for i in range(4):
+            f = int(batch["frame_i"][i])
+            if f == len(rels):
+                rels.append(batch["delta_Rtijs_4_4"][i])
+    traj = chain_relative_poses(np.stack(rels))
+    assert traj.shape == (6, 4, 4)
+    # Orthonormal rotations all along.
+    RtR = np.einsum("nij,nkj->nik", traj[:, :3, :3], traj[:, :3, :3])
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (6, 1, 1)), atol=1e-4)
