@@ -90,6 +90,37 @@ class SyntheticShapes:
                 lab[cy, cx] = (int(y) % 8) * 8 + (int(x) % 8)
         return lab
 
+    def pool(self, n: int):
+        """Pre-render n (image, corners) samples for reuse across epochs."""
+        return [self.sample() for _ in range(n)]
+
+
+def sample_homography(
+    rng: np.random.RandomState,
+    image_size: Tuple[int, int],
+    max_angle: float = 0.35,
+    scale_range: Tuple[float, float] = (0.85, 1.2),
+    max_translation: float = 0.08,
+    max_perspective: float = 6e-4,
+) -> np.ndarray:
+    """Random pixel-space homography img1 -> img2 about the image center
+    (the SuperPoint augmentation family: rotation x scale x translation x
+    mild perspective). Returns [3, 3] float32."""
+    Hh, Ww = image_size
+    cx, cy = Ww / 2.0, Hh / 2.0
+    to_c = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], np.float64)
+    a = rng.uniform(-max_angle, max_angle)
+    s = rng.uniform(*scale_range)
+    ca, sa = np.cos(a), np.sin(a)
+    rs = np.array([[s * ca, -s * sa, 0], [s * sa, s * ca, 0], [0, 0, 1]])
+    tx = rng.uniform(-max_translation, max_translation) * Ww
+    ty = rng.uniform(-max_translation, max_translation) * Hh
+    tr = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float64)
+    p1, p2 = rng.uniform(-max_perspective, max_perspective, 2)
+    pe = np.array([[1, 0, 0], [0, 1, 0], [p1, p2, 1]], np.float64)
+    M = np.linalg.inv(to_c) @ tr @ pe @ rs @ to_c
+    return (M / M[2, 2]).astype(np.float32)
+
 
 # ---------------------------------------------------------------------------
 # Losses
@@ -174,6 +205,48 @@ def make_joint_sp_train_step(
             o2 = net.apply(p, batch["image2"][..., None])
             l_det = detector_loss(o1["semi"], batch["cells"])
             l_desc = descriptor_loss(o1["desc"], o2["desc"], batch["H"])
+            return l_det + desc_weight * l_desc, (l_det, l_desc)
+
+        (loss, (l_det, l_desc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "det": l_det, "desc": l_desc}
+
+    return step
+
+
+def make_warped_joint_train_step(
+    net: SuperPointNet, tx: optax.GradientTransformation,
+    desc_weight: float = 1e-4,
+):
+    """Joint detector+descriptor step where the second view is produced by
+    warping the batch with per-item homographies INSIDE the jitted step
+    (one vmapped bilinear warp on device — the round-1 joint run did this
+    eagerly per item through the device tunnel and was ~1000x slower).
+
+    batch: {'image' [B,H,W], 'cells' [B,Hc,Wc], 'cells2' [B,Hc,Wc],
+            'H' [B,3,3] pixel homography img1 -> img2}.
+    """
+    from ..utils.warp import transform_image
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        H_mat = batch["H"]
+        # transform_image computes out(x) = img(M @ x); for img1 -> img2
+        # correspondence H, the resampling matrix is H^-1.
+        img2 = jax.vmap(transform_image)(
+            batch["image"][..., None], jnp.linalg.inv(H_mat)
+        )[..., 0]
+
+        def loss_fn(p):
+            o1 = net.apply(p, batch["image"][..., None])
+            o2 = net.apply(p, img2[..., None])
+            l_det = detector_loss(o1["semi"], batch["cells"]) + detector_loss(
+                o2["semi"], batch["cells2"]
+            )
+            l_desc = descriptor_loss(o1["desc"], o2["desc"], H_mat)
             return l_det + desc_weight * l_desc, (l_det, l_desc)
 
         (loss, (l_det, l_desc)), grads = jax.value_and_grad(
