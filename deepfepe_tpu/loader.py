@@ -65,4 +65,5 @@ def model_loader(cfg: Config) -> DeepFNet:
         if_sample_loss=m.if_sample_loss,
         if_goodCorresArch=m.if_goodCorresArch,
         mlp_dtype=mlp_dtype,
+        use_pallas_mlp=m.use_pallas_mlp,
     )

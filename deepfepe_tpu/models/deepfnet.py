@@ -63,6 +63,9 @@ class DeepFNet(nn.Module):
     feature_clamp_at: float = 0.5  # epi-residual clamp inside the recurrence
     normalize_svd: bool = True
     mlp_dtype: jnp.dtype = jnp.float32  # bfloat16 for full-rate MXU MLPs
+    # Route the weight MLPs through the fused Pallas kernel
+    # (ops/pallas/mlp_pallas.py); requires mlp_dtype=bfloat16.
+    use_pallas_mlp: bool = False
     # Sample-loss variant (ref: DeepFNetSampleLoss.Norm8PointNet :438):
     # per layer, also fit F on sampled minimal subsets for an auxiliary loss.
     if_sample_loss: bool = False
@@ -83,18 +86,21 @@ class DeepFNet(nn.Module):
             self.update_weights = GoodCorresNet(output_size=1)
         else:
             self.input_weights = ErrorEstimator(
-                output_size=1, dtype=self.mlp_dtype
+                output_size=1, dtype=self.mlp_dtype,
+                use_pallas=self.use_pallas_mlp,
             )
             # +3 for [weights, epi_res, residual] (+1 tri depth),
             # DeepFNet.py:341.
             self.update_weights = ErrorEstimator(
-                output_size=1, dtype=self.mlp_dtype
+                output_size=1, dtype=self.mlp_dtype,
+                use_pallas=self.use_pallas_mlp,
             )
         self._in_ch = 4 + q + d
         self._update_ch = 4 + q + d + 3 + tri
         if self.if_learn_offsets:
             self.update_offsets = ErrorEstimator(
-                output_size=4, if_bn=False, dtype=self.mlp_dtype
+                output_size=4, if_bn=False, dtype=self.mlp_dtype,
+                use_pallas=self.use_pallas_mlp,
             )
 
     def _get_input(self, data_batch, offsets=None):

@@ -54,6 +54,8 @@ class ModelConfig:
     balance_select_F: float = 0.1
     # MLP matmul compute dtype: 'bfloat16' (full-rate MXU) or 'float32'.
     mlp_dtype: str = "bfloat16"
+    # Fused Pallas MLP kernel (TPU; needs bfloat16): ~2x step speedup.
+    use_pallas_mlp: bool = False
 
 
 @dataclass
