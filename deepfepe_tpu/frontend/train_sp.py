@@ -259,6 +259,80 @@ def make_warped_joint_train_step(
     return step
 
 
+def homographic_adaptation(
+    net: SuperPointNet,
+    params,
+    images: jnp.ndarray,          # [B, H, W] grayscale in [0, 1]
+    H_mats: jnp.ndarray,          # [K, 3, 3] sampled homographies (img->warp)
+) -> jnp.ndarray:
+    """Aggregated detector heatmap over K homographic views (the SuperPoint
+    homographic-adaptation label-refinement step, run to create
+    pseudo-ground-truth keypoints on unlabeled real images).
+
+    For each homography H_k: warp the image, run the detector, unwarp the
+    heatmap back, and average over views with a validity mask (pixels that
+    fell outside the warped frame don't vote). Fully batched and jittable:
+    one vmapped bilinear warp per view, lax.scan over views.
+
+    Returns [B, H, W] aggregated heatmaps in [0, 1].
+    """
+    from ..utils.warp import transform_image
+
+    from .superpoint import flatten_detection
+
+    B, Hh, Ww = images.shape
+    ones = jnp.ones((Hh, Ww, 1), images.dtype)
+
+    def one_view(carry, H_k):
+        acc, cnt = carry
+        H_inv = jnp.linalg.inv(H_k)
+        # warped(x) = image(H_k^-1 x)  <=>  points map by H_k.
+        warped = jax.vmap(lambda im: transform_image(im, H_inv))(
+            images[..., None]
+        )
+        valid_w = transform_image(ones, H_inv)[..., 0]  # same for all B
+        outs = net.apply(params, warped)
+        heat = flatten_detection(outs["semi"])  # [B, H, W]
+        # Unwarp back to the original frame: heat_orig(x) = heat(H_k x).
+        heat0 = jax.vmap(lambda hm: transform_image(hm[..., None], H_k))(
+            heat
+        )[..., 0]
+        valid0 = transform_image(valid_w[..., None], H_k)[..., 0]
+        mask = (valid0 > 0.5).astype(heat0.dtype)
+        return (acc + heat0 * mask, cnt + mask), None
+
+    (acc, cnt), _ = jax.lax.scan(
+        one_view,
+        (jnp.zeros_like(images), jnp.zeros_like(images)),
+        H_mats,
+    )
+    return acc / jnp.maximum(cnt, 1.0)
+
+
+def heatmap_to_cells(
+    heatmap: np.ndarray, conf_thresh: float = 0.015, nms_dist: int = 4
+) -> np.ndarray:
+    """Aggregated heatmap [H, W] -> 65-way cell labels [H/8, W/8] (the
+    pseudo-label half of homographic adaptation): NMS, threshold, then the
+    strongest keypoint per 8x8 cell wins; empty cells get the dustbin."""
+    import jax.numpy as jnp_  # device NMS, host argmax bookkeeping
+
+    from .process import nms_heatmap
+
+    hm = np.asarray(nms_heatmap(jnp_.asarray(heatmap)[None], nms_dist)[0])
+    Hh, Ww = hm.shape
+    Hc, Wc = Hh // 8, Ww // 8
+    lab = np.full((Hc, Wc), 64, np.int32)
+    best = np.zeros((Hc, Wc), np.float32)
+    ys, xs = np.nonzero(hm > conf_thresh)
+    for y, x in zip(ys, xs):
+        cy, cx = y // 8, x // 8
+        if cy < Hc and cx < Wc and hm[y, x] > best[cy, cx]:
+            best[cy, cx] = hm[y, x]
+            lab[cy, cx] = (y % 8) * 8 + (x % 8)
+    return lab
+
+
 def warp_labels(
     corners: np.ndarray, H_mat: np.ndarray, image_size: Tuple[int, int]
 ) -> np.ndarray:

@@ -118,3 +118,70 @@ def test_joint_sp_step_runs():
     params, opt_state, metrics = step(params, opt_state, jb)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["desc"]))
+
+
+def test_warped_joint_step_runs_and_improves():
+    from deepfepe_tpu.frontend.train_sp import (
+        make_warped_joint_train_step,
+        sample_homography,
+        warp_labels,
+    )
+
+    rng = np.random.RandomState(0)
+    ds = SyntheticShapes(image_size=(64, 96), seed=4)
+    net = SuperPointNet()
+    b0 = ds.batch(2)
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.asarray(b0["image"])[..., None]
+    )
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    step = make_warped_joint_train_step(net, tx)
+
+    pool = ds.pool(4)
+    losses = []
+    for _ in range(4):
+        idx = rng.randint(0, len(pool), 2)
+        imgs = np.stack([pool[i][0] for i in idx])
+        cells = np.stack([ds.corners_to_cells(pool[i][1]) for i in idx])
+        Hs, cells2 = [], []
+        for i in idx:
+            Hm = sample_homography(rng, (64, 96))
+            Hs.append(Hm)
+            cells2.append(
+                ds.corners_to_cells(warp_labels(pool[i][1], Hm, (64, 96)))
+            )
+        batch = {
+            "image": jnp.asarray(imgs),
+            "cells": jnp.asarray(cells),
+            "cells2": jnp.asarray(np.stack(cells2)),
+            "H": jnp.asarray(np.stack(Hs)),
+        }
+        params, opt_state, m = step(params, opt_state, batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+
+
+def test_homographic_adaptation_identity_matches_plain_forward():
+    from deepfepe_tpu.frontend.superpoint import flatten_detection
+    from deepfepe_tpu.frontend.train_sp import (
+        heatmap_to_cells,
+        homographic_adaptation,
+    )
+
+    ds = SyntheticShapes(image_size=(64, 96), seed=5)
+    b = ds.batch(2)
+    imgs = jnp.asarray(b["image"])
+    net = SuperPointNet()
+    params = net.init(jax.random.PRNGKey(0), imgs[..., None])
+
+    H_id = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (2, 1, 1)))
+    agg = homographic_adaptation(net, params, imgs, H_id)
+    plain = flatten_detection(net.apply(params, imgs[..., None])["semi"])
+    # Identity warps: aggregation is exactly the plain heatmap (bilinear
+    # sampling at integer coords is exact).
+    assert float(jnp.abs(agg - plain).max()) < 1e-5
+
+    lab = heatmap_to_cells(np.asarray(agg[0]), conf_thresh=1e-6)
+    assert lab.shape == (8, 12)
+    assert lab.min() >= 0 and lab.max() <= 64

@@ -33,6 +33,8 @@ from flax import serialization
 from deepfepe_tpu.frontend import SuperPointNet
 from deepfepe_tpu.frontend.train_sp import (
     SyntheticShapes,
+    heatmap_to_cells,
+    homographic_adaptation,
     make_detector_train_step,
     make_warped_joint_train_step,
     sample_homography,
@@ -93,6 +95,10 @@ def main():
     ap.add_argument("--pool", type=int, default=3000)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--desc_weight", type=float, default=1e-4)
+    ap.add_argument("--ha_iters", type=int, default=0)
+    ap.add_argument("--ha_images", type=int, default=256)
+    ap.add_argument("--ha_homographies", type=int, default=24)
+    ap.add_argument("--ha_conf", type=float, default=0.015)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--save_every", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
@@ -155,6 +161,52 @@ def main():
             mf.flush()
         if it and it % args.save_every == 0:
             save(f"joint_{it}")
+    # --- Stage C: homographic adaptation on unlabeled "real" images ------
+    # (textured synthetic renders stand in for the real-image corpus):
+    # aggregate the detector over random homographic views to create
+    # pseudo-labels, then fine-tune the detector on them.
+    if args.ha_iters:
+        from deepfepe_tpu.data.synthetic_images import SyntheticImagePairs
+
+        real_ds = SyntheticImagePairs(image_size=(ds.H, ds.W), seed=99)
+        n_imgs = args.ha_images
+        t0 = time.time()
+        imgs, labels = [], []
+        bsz = 8
+        for s0 in range(0, n_imgs, bsz):
+            s = real_ds.batch(min(bsz, n_imgs - s0))
+            im = jnp.asarray(s["imgs_grey"][:, 0])  # [b, H, W]
+            Hs = np.stack(
+                [sample_homography(rng, (ds.H, ds.W))
+                 for _ in range(args.ha_homographies)]
+            )
+            agg = homographic_adaptation(net, params, im, jnp.asarray(Hs))
+            agg = np.asarray(agg)
+            for k in range(agg.shape[0]):
+                imgs.append(np.asarray(im[k]))
+                labels.append(heatmap_to_cells(agg[k], args.ha_conf))
+        rec = {"stage": "ha_labels", "images": len(imgs),
+               "elapsed_s": round(time.time() - t0, 1)}
+        print(json.dumps(rec), flush=True)
+        mf.write(json.dumps(rec) + "\n")
+
+        det_step = make_detector_train_step(net, tx)
+        t0 = time.time()
+        for it in range(args.ha_iters):
+            idx = rng.randint(0, len(imgs), args.batch)
+            b = {
+                "image": np.stack([imgs[i] for i in idx]),
+                "cells": np.stack([labels[i] for i in idx]),
+            }
+            params, opt_state, loss = det_step(params, opt_state, b)
+            if it % 100 == 0 or it == args.ha_iters - 1:
+                rec = {
+                    "stage": "ha_finetune", "iter": it, "loss": float(loss),
+                    "elapsed_s": round(time.time() - t0, 1),
+                }
+                print(json.dumps(rec), flush=True)
+                mf.write(json.dumps(rec) + "\n")
+                mf.flush()
     ckpt = save("final")
 
     ev = final_eval(net, params)
