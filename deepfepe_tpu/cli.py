@@ -28,6 +28,8 @@ def _build(args):
     cfg = load_config(args.config)
     if getattr(args, "train_iter", None) is not None:
         cfg.training.train_iter = args.train_iter
+    if getattr(args, "profile_dir", ""):
+        cfg.training.profile_dir = args.profile_dir
     save_dir = os.path.join("logs", args.exper_name)
     os.makedirs(save_dir, exist_ok=True)
     # Snapshot the config (ref: train_good.py:114).
@@ -298,6 +300,9 @@ def main(argv=None):
         sp.add_argument("--pretrained", default="")
         sp.add_argument("--train_iter", type=int, default=None)
         sp.add_argument("--max_batches", type=int, default=0)
+        sp.add_argument("--profile_dir", default="",
+                        help="capture an xprof device trace of a few "
+                             "training iterations into this directory")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     return args.fn(args)

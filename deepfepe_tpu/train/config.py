@@ -54,7 +54,9 @@ class ModelConfig:
     balance_select_F: float = 0.1
     # MLP matmul compute dtype: 'bfloat16' (full-rate MXU) or 'float32'.
     mlp_dtype: str = "bfloat16"
-    # Fused Pallas MLP kernel (TPU; needs bfloat16): ~2x step speedup.
+    # Fused Pallas MLP kernel (TPU; needs bfloat16). Wins MLP
+    # microbenchmarks; full-step parity with XLA at bench shapes — see
+    # ops/pallas/mlp_pallas.py docstring for the measured analysis.
     use_pallas_mlp: bool = False
 
 
@@ -75,6 +77,12 @@ class TrainingConfig:
     val_interval: int = 200
     val_batches: int = 10
     save_interval: int = 200
+    # Profiling (SURVEY.md §5.1 — new subsystem, absent in the reference):
+    # if profile_dir is set, Trainer.fit captures an xprof device trace of
+    # iterations [profile_start, profile_start + profile_steps).
+    profile_dir: str = ""
+    profile_start: int = 5
+    profile_steps: int = 10
     seed: int = 0
     reproduce: bool = False
     retrain: bool = True

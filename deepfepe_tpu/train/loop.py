@@ -120,12 +120,24 @@ class Trainer:
         max_iters = max_iters or cfg.training.train_iter
         t0 = time.time()
         last = {}
+        prof = cfg.training.profile_dir
+        tracing = False
         for batch in train_stream:
             if self.state is None:
                 self.init_state(batch)
             n_iter = self.n_iter
             if n_iter >= max_iters:
                 break
+            if prof and n_iter == cfg.training.profile_start:
+                jax.profiler.start_trace(prof)
+                tracing = True
+            if tracing and n_iter == (
+                cfg.training.profile_start + cfg.training.profile_steps
+            ):
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                tracing = False
+                prof = ""  # one capture per fit
             q_clamp, t_clamp = qt_clamps(cfg.training, n_iter)
             sharded = shard_batch(self.mesh, batch)
             self.state, metrics = self.train_step(
@@ -146,6 +158,9 @@ class Trainer:
                 and (n_iter + 1) % cfg.training.save_interval == 0
             ):
                 self.save(n_iter + 1)
+        if tracing:  # run ended inside the capture window
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
         last["wall_s"] = time.time() - t0
         return last
 
