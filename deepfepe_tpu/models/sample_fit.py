@@ -62,10 +62,15 @@ def sample_loss_fits(
     w_sel = jnp.take_along_axis(weights[:, None], idx, axis=-1)  # [B, S, K]
     fit_s = weighted_eight_point(p1, p2, w_sel)
 
-    # Hypothesis score: normalized product of member weights (x1000 per
-    # factor for f32 range, exactly as the reference :425-427).
-    score = jnp.prod(w_sel * 1000.0, axis=-1)  # [B, S]
-    score = score / (jnp.sum(score, axis=-1, keepdims=True) + 1e-10)
+    # Hypothesis score: normalized product of member weights (ref :425-427
+    # computes prod(w*1000)/sum — that overflows f32 once the softmax
+    # concentrates (w=0.1 gives (100)^20 = 1e40 -> inf/inf = NaN, observed
+    # at iter ~400 on the synthetic ablation). The same normalized product
+    # in log space, exactly: softmax over the sum of log-weights (the
+    # x1000^K factor cancels in the normalization).
+    score = jax.nn.softmax(
+        jnp.sum(jnp.log(w_sel + 1e-12), axis=-1), axis=-1
+    )  # [B, S]
 
     return {
         "F_topK": fit_top.F,

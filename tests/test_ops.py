@@ -157,3 +157,45 @@ def test_weighted_eight_point_differentiable(rng):
     g = jax.grad(loss)(jnp.zeros((1, 64)))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_sample_scores_no_overflow_with_concentrated_weights():
+    """prod(w*1000) overflows f32 once the softmax concentrates; the
+    log-space score must stay finite and equal the normalized product
+    (models/sample_fit.py — NaN observed on the synthetic ablation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepfepe_tpu.models.sample_fit import sample_loss_fits
+
+    rng = np.random.RandomState(0)
+    B, N = 2, 100
+    pts1 = jnp.asarray(
+        np.concatenate([rng.rand(B, N, 2) * 2 - 1, np.ones((B, N, 1))], -1),
+        jnp.float32,
+    )
+    pts2 = jnp.asarray(
+        np.concatenate([rng.rand(B, N, 2) * 2 - 1, np.ones((B, N, 1))], -1),
+        jnp.float32,
+    )
+    # Concentrated weights: a few points carry ~0.2 each.
+    logits = np.full((B, N), -8.0, np.float32)
+    logits[:, :5] = 2.0
+    w = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    out = sample_loss_fits(
+        pts1, pts2, w, jnp.full((B,), N), jax.random.PRNGKey(0),
+        topk=20, selects=16,
+    )
+    s = np.asarray(out["sample_scores"])
+    assert np.all(np.isfinite(s))
+    assert np.allclose(s.sum(-1), 1.0, atol=1e-5)
+    # Gradient through the scores is finite too.
+    def f(w):
+        o = sample_loss_fits(
+            pts1, pts2, w, jnp.full((B,), N), jax.random.PRNGKey(0),
+            topk=20, selects=16,
+        )
+        return jnp.sum(o["sample_scores"] * jnp.sum(o["F_samples"], (-1, -2)))
+    g = jax.grad(f)(w)
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -1,0 +1,170 @@
+"""Full-pipeline (SuperPoint frontend + DeepF solver) staged training.
+
+The reference's end-to-end recipe steps 2-3 (README.md:95-119): start
+from a pretrained SuperPoint and a (optionally pretrained) DeepF, first
+train the solver with the frontend FROZEN, then fine-tune both
+end-to-end (gradients flow loss -> solver -> matches = xs + offsets ->
+soft-argmax -> CNN inside one jitted step, train/joint.py).
+
+Data: textured synthetic image pairs with exact gt geometry
+(data/synthetic_images.py). Eval: median err_q/err_t of the solver's E
+vs gt, plus the vmapped RANSAC baseline on the SAME SuperPoint matches.
+
+Usage:
+  python tools/train_joint_full.py --sp experiments/sp_full/sp_final.msgpack \
+      --out experiments/joint_full --stage1_iters 2000 --stage2_iters 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+from deepfepe_tpu.data.synthetic_images import SyntheticImagePairs
+from deepfepe_tpu.frontend import FrontendParams, SuperPointNet, get_matches_from_sp
+from deepfepe_tpu.models import DeepFNet
+from deepfepe_tpu.train import Config
+from deepfepe_tpu.train.joint import (
+    JointTrainState,
+    build_solver_batch,
+    make_joint_eval_step,
+    make_joint_train_step,
+)
+
+IMG = (120, 160)
+NPTS = 200
+
+
+def evaluate(deepf_net, sp_net, fp, cfg, state, ds_eval, batches, key):
+    from deepfepe_tpu.eval import val_rt_batch
+
+    ev = make_joint_eval_step(deepf_net, sp_net, fp, cfg)
+    eq, et, eqb, etb, nmatch = [], [], [], [], []
+    for _ in range(batches):
+        b = {k: jnp.asarray(v) for k, v in ds_eval.batch(8).items()}
+        m = ev(state.deepf_params, state.sp_params, b)
+        key, sub = jax.random.split(key)
+        rt = val_rt_batch(
+            m["E_ests"], b["Ks"], m["matches_xy"], b["E_gts"],
+            b["delta_Rtijs_4_4"], ransac_key=sub,
+        )
+        eq.append(np.asarray(rt["err_q_est"]))
+        et.append(np.asarray(rt["err_t_est"]))
+        eqb.append(np.asarray(rt["err_q_base"]))
+        etb.append(np.asarray(rt["err_t_base"]))
+    return {
+        "median_err_q": round(float(np.median(np.concatenate(eq))), 4),
+        "median_err_t": round(float(np.median(np.concatenate(et))), 4),
+        "median_err_q_ransac": round(float(np.median(np.concatenate(eqb))), 4),
+        "median_err_t_ransac": round(float(np.median(np.concatenate(etb))), 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sp", required=True, help="pretrained SP msgpack")
+    ap.add_argument("--deepf", default="", help="optional DeepF msgpack")
+    ap.add_argument("--out", default="experiments/joint_full")
+    ap.add_argument("--stage1_iters", type=int, default=2000)
+    ap.add_argument("--stage2_iters", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr_deepf", type=float, default=1e-4)
+    ap.add_argument("--lr_sp", type=float, default=1e-6)
+    ap.add_argument("--eval_batches", type=int, default=6)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    mf = open(os.path.join(args.out, "metrics.jsonl"), "a")
+
+    def log(rec):
+        print(json.dumps(rec), flush=True)
+        mf.write(json.dumps(rec) + "\n")
+        mf.flush()
+
+    cfg = Config()
+    cfg.model.depth = 5
+    cfg.model.if_quality = True
+    cfg.data.good_num = NPTS
+    cfg.data.batch_size = args.batch
+
+    ds = SyntheticImagePairs(image_size=IMG, seed=0)
+    ds_eval = SyntheticImagePairs(image_size=IMG, seed=777)
+
+    sp_net = SuperPointNet()
+    deepf_net = DeepFNet(
+        depth=5, image_size=IMG, if_quality=True, mlp_dtype=jnp.bfloat16
+    )
+    fp = FrontendParams(out_num_points=NPTS, conf_thresh=0.010, nn_thresh=0.9)
+
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(args.batch).items()}
+    sp_params = sp_net.init(
+        jax.random.PRNGKey(0), batch["imgs_grey"][:, 0][..., None]
+    )
+    with open(args.sp, "rb") as f:
+        sp_params = serialization.from_bytes(sp_params, f.read())
+    sp_out = get_matches_from_sp(
+        sp_net, sp_params, (batch["imgs_grey"][:, 0], batch["imgs_grey"][:, 1]),
+        fp,
+    )
+    db = build_solver_batch(sp_out, batch)
+    deepf_params = deepf_net.init(jax.random.PRNGKey(1), db)
+    if args.deepf:
+        with open(args.deepf, "rb") as f:
+            deepf_params = serialization.from_bytes(deepf_params, f.read())
+
+    tx_deepf = optax.adam(args.lr_deepf)
+    tx_sp = optax.adam(args.lr_sp)
+    state = JointTrainState.create(deepf_params, sp_params, tx_deepf, tx_sp)
+
+    def save(tag):
+        for name, params in [
+            ("deepF", state.deepf_params), ("superPoint", state.sp_params)
+        ]:
+            p = os.path.join(args.out, f"{name}_{tag}.msgpack")
+            with open(p, "wb") as f:
+                f.write(serialization.to_bytes(jax.device_get(params)))
+
+    key = jax.random.PRNGKey(3)
+    log({"stage": "eval_init",
+         **evaluate(deepf_net, sp_net, fp, cfg, state, ds_eval,
+                    args.eval_batches, key)})
+
+    for stage, iters, train_sp in [
+        ("stage1_frozen_sp", args.stage1_iters, False),
+        ("stage2_end_to_end", args.stage2_iters, True),
+    ]:
+        if iters == 0:
+            continue
+        step = make_joint_train_step(
+            deepf_net, sp_net, fp, tx_deepf, tx_sp, cfg,
+            train_deepf=True, train_sp=train_sp,
+        )
+        t0 = time.time()
+        for it in range(iters):
+            b = {k: jnp.asarray(v) for k, v in ds.batch(args.batch).items()}
+            state, m = step(state, b, 0.1, 0.5)
+            if it % 100 == 0 or it == iters - 1:
+                log({"stage": stage, "iter": it,
+                     "loss": round(float(np.asarray(m["loss"])), 6),
+                     "elapsed_s": round(time.time() - t0, 1)})
+        save(stage)
+        key, sub = jax.random.split(key)
+        log({"stage": f"eval_after_{stage}",
+             **evaluate(deepf_net, sp_net, fp, cfg, state, ds_eval,
+                        args.eval_batches, sub)})
+    mf.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,16 +50,22 @@ def build_pool(ds: SyntheticShapes, n: int):
 
 
 def batch_from_pool(ds, pool, rng, batch_size, with_warp):
-    idx = rng.randint(0, len(pool), batch_size)
-    imgs = np.stack([pool[i][0] for i in idx])
-    cells = np.stack([ds.corners_to_cells(pool[i][1]) for i in idx])
+    """pool=None -> fresh renders every batch (no reuse; a 4000-image pool
+    reused for 64 epochs measurably overfits the detector to the shape
+    rendering style — experiments/sp_full vs superpoint_pretrain)."""
+    if pool is None:
+        items = [ds.sample() for _ in range(batch_size)]
+    else:
+        items = [pool[i] for i in rng.randint(0, len(pool), batch_size)]
+    imgs = np.stack([it[0] for it in items])
+    cells = np.stack([ds.corners_to_cells(it[1]) for it in items])
     out = {"image": imgs, "cells": cells}
     if with_warp:
         Hs, cells2 = [], []
-        for i in idx:
+        for it in items:
             Hm = sample_homography(rng, (ds.H, ds.W))
             Hs.append(Hm)
-            c2 = warp_labels(pool[i][1], Hm, (ds.H, ds.W))
+            c2 = warp_labels(it[1], Hm, (ds.H, ds.W))
             cells2.append(ds.corners_to_cells(c2))
         out["H"] = np.stack(Hs)
         out["cells2"] = np.stack(cells2)
@@ -119,7 +125,7 @@ def main():
 
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
-    pool = build_pool(ds, args.pool)
+    pool = build_pool(ds, args.pool) if args.pool > 0 else None
 
     def save(tag):
         p = os.path.join(args.out, f"sp_{tag}.msgpack")
