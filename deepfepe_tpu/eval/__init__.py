@@ -11,6 +11,7 @@ from .kitti_odometry import (
 )
 from .opencv_baseline import recover_camera_opencv
 from .ransac import RansacResult, ransac_f, ransac_f_batch
+from .val_pipeline import ValPipelineFrontend, load_params_msgpack
 from .val_rt import inlier_ratios, val_rt_batch
 from .vo import (
     chain_relative_poses,

@@ -78,6 +78,27 @@ class ExpTableProcessor:
             }
         )
 
+    @classmethod
+    def from_config(cls, config: Dict) -> "ExpTableProcessor":
+        """Build from a table config dict (ref configs/table_*.yaml schema:
+        `data.base_path` + `data.seq_dict: symbol -> [folder, filename, ...]`
+        consumed by Exp_table_processor, eval_tools.py:181-243). Extra list
+        entries past (folder, filename) — checkpoint iters etc. — are
+        ignored, as the reference does for table assembly. Missing npz files
+        are skipped with a warning rather than failing the whole table
+        (the reference's check_output behavior, run_eval_good.py:296-356)."""
+        data = config.get("data", config)
+        base = Path(data.get("base_path", "."))
+        exps: Dict[str, ResultProcessor] = {}
+        for sym, entry in (data.get("seq_dict") or {}).items():
+            folder, filename = entry[0], entry[1]
+            path = base / folder / filename
+            if not path.exists():
+                print(f"[ExpTableProcessor] missing: {path} (skipped)")
+                continue
+            exps[sym] = ResultProcessor.from_npz(str(path))
+        return cls(exps)
+
     def table(
         self, metrics: Sequence[str] = ("err_q_median", "err_t_median")
     ) -> Dict[str, Dict[str, float]]:

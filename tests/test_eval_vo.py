@@ -367,3 +367,36 @@ def test_recover_camera_opencv_baseline(rng):
             assert np.asarray(E_ret).shape == (3, 3)
         else:
             assert len(E_ret) == 2
+
+
+def test_exp_table_from_config(tmp_path, rng):
+    """Table assembly from the reference table-config schema
+    (configs/table_*.yaml: data.base_path + seq_dict symbol -> [folder,
+    filename, extra...]; eval_tools.py:181-243)."""
+    from deepfepe_tpu.eval.results import ExpTableProcessor
+
+    for folder, scale in (("exp_sift", 2.0), ("exp_deepf", 1.0)):
+        d = tmp_path / folder
+        d.mkdir()
+        np.savez(
+            d / "DeepF_err_ratio.npz",
+            err_q=rng.rand(40) * scale,
+            err_t=rng.rand(40) * scale,
+            epi_dists=rng.rand(40, 10) * scale,
+        )
+    config = {
+        "data": {
+            "base_path": str(tmp_path),
+            "seq_dict": {
+                # extra entries (ckpt iters etc.) must be tolerated
+                "s.k": ["exp_sift", "DeepF_err_ratio.npz", "src", 50000],
+                "d.k": ["exp_deepf", "DeepF_err_ratio.npz"],
+                "missing": ["no_such_dir", "DeepF_err_ratio.npz"],
+            },
+        }
+    }
+    tp = ExpTableProcessor.from_config(config)
+    assert set(tp.experiments) == {"s.k", "d.k"}  # missing one skipped
+    assert tp.highlights("err_q_median") == "d.k"
+    t = tp.table()
+    assert t["s.k"]["err_q_median"] > t["d.k"]["err_q_median"]

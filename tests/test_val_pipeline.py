@@ -1,0 +1,128 @@
+"""Qualitative single-sample eval pipeline (eval/val_pipeline.py).
+
+Covers the reference's `Val_pipeline_frontend` capability
+(eval_tools.py:587-2100): checkpoint loading (both msgpack layouts),
+precomputed-match and SuperPoint-frontend modes, pose validation, and the
+qualitative plot outputs.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import serialization
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from deepfepe_tpu.data import SyntheticPairs
+from deepfepe_tpu.data.synthetic_images import SyntheticImagePairs
+from deepfepe_tpu.eval import ValPipelineFrontend, load_params_msgpack
+from deepfepe_tpu.models import DeepFNet
+
+
+def _save_bare_params(path, params):
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+
+
+def test_val_pipeline_precomputed_matches(tmp_path):
+    ds = SyntheticPairs(good_num=128, seed=3)
+    batch = ds.batch(2)
+    net = DeepFNet(depth=2, if_quality=True)
+    params = net.init(jax.random.PRNGKey(0), {
+        k: jnp.asarray(v) for k, v in batch.items()
+    })
+    ckpt = str(tmp_path / "deepF_bare.msgpack")
+    _save_bare_params(ckpt, params)
+
+    vp = ValPipelineFrontend(net, ckpt, batch)
+    result = vp.eval_one_sample(batch)
+
+    # gt sanity invariant: recovered pose from gt E must be ~exact
+    # (f32 recover_pose leaves hundredth-of-a-degree noise).
+    assert float(np.median(result["val"]["err_q_gt"])) < 0.1
+    assert result["preds"]["E_est"].shape == (2, 3, 3)
+    assert result["val"]["err_q_est"].shape == (2,)
+    assert 0.0 <= float(result["ratios"]["gt"]["ratio@1.0"].mean()) <= 1.0
+    # gt F should explain nearly all inliers (15% outliers injected).
+    assert float(result["ratios"]["gt"]["ratio@1.0"].mean()) > 0.7
+
+    figs = vp.plot_one_sample(result, save_dir=str(tmp_path / "plots"))
+    assert set(figs) == {"corr", "epipolar", "weights"}
+    for name in figs:
+        assert os.path.exists(tmp_path / "plots" / f"{name}_0.png")
+
+
+def test_val_pipeline_trainstate_checkpoint(tmp_path):
+    """A full TrainState msgpack (train/loop.save_checkpoint layout) loads
+    into the params template transparently."""
+    from deepfepe_tpu.train import Config, Trainer
+
+    # batch 8: the Trainer shards over the 8-device virtual mesh.
+    ds = SyntheticPairs(good_num=128, seed=4)
+    batch = ds.batch(8)
+    cfg = Config()
+    cfg.model.depth = 2
+    cfg.model.if_quality = True
+    cfg.data.good_num = 128
+    net = DeepFNet(depth=2, if_quality=True)
+    trainer = Trainer(net, cfg)
+    trainer.init_state(batch)
+    ckpt = str(tmp_path / "deepF_state.msgpack")
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(trainer.state)))
+
+    template = net.init(jax.random.PRNGKey(0), {
+        k: jnp.asarray(v) for k, v in batch.items()
+    })
+    loaded = load_params_msgpack(ckpt, template)
+    ref = jax.device_get(trainer.state.params)
+    flat_a = jax.tree_util.tree_leaves(loaded)
+    flat_b = jax.tree_util.tree_leaves(ref)
+    assert all(np.allclose(a, b) for a, b in zip(flat_a, flat_b))
+
+    vp = ValPipelineFrontend(net, ckpt, batch)
+    result = vp.eval_one_sample(batch)
+    assert np.isfinite(result["val"]["err_q_est"]).all()
+
+
+def test_val_pipeline_superpoint_mode(tmp_path):
+    from deepfepe_tpu.frontend import FrontendParams, SuperPointNet
+
+    IMG = (64, 80)
+    ds = SyntheticImagePairs(image_size=IMG, seed=5)
+    batch = ds.batch(2)
+    sp_net = SuperPointNet()
+    sp_params = sp_net.init(
+        jax.random.PRNGKey(1),
+        jnp.asarray(batch["imgs_grey"])[:, 0][..., None],
+    )
+    sp_ckpt = str(tmp_path / "sp.msgpack")
+    _save_bare_params(sp_ckpt, sp_params)
+
+    net = DeepFNet(depth=2, image_size=IMG, if_quality=True)
+    fp = FrontendParams(out_num_points=64, conf_thresh=0.0, nn_thresh=1.2)
+
+    # Build the deepF checkpoint against an SP-produced batch template.
+    from deepfepe_tpu.frontend import get_matches_from_sp
+    imgs = jnp.asarray(batch["imgs_grey"])
+    sp_out = get_matches_from_sp(sp_net, sp_params, (imgs[:, 0], imgs[:, 1]), fp)
+    db = ValPipelineFrontend._with_matches(
+        {k: jnp.asarray(v) for k, v in batch.items()}, sp_out
+    )
+    deepf_params = net.init(jax.random.PRNGKey(2), db)
+    deepf_ckpt = str(tmp_path / "deepF.msgpack")
+    _save_bare_params(deepf_ckpt, deepf_params)
+
+    vp = ValPipelineFrontend(
+        net, deepf_ckpt, batch, sp_net=sp_net, sp_params_path=sp_ckpt, fp=fp
+    )
+    result = vp.eval_one_sample(batch)
+    assert result["batch"]["matches_xy_ori"].shape == (2, 64, 4)
+    assert np.isfinite(result["val"]["err_q_est"]).all()
+    figs = vp.plot_one_sample(result, item=1, save_dir=str(tmp_path / "p"))
+    assert os.path.exists(tmp_path / "p" / "corr_1.png")
