@@ -70,9 +70,20 @@ def hartley_normalize(
     denom = jnp.sum(w, axis=-2) + eps  # [..., 1]
     c = jnp.sum(pts_h * w, axis=-2) / denom  # [..., 3]
     centered = pts_h - c[..., None, :]
-    dist = jnp.sqrt(jnp.sum(centered[..., :2] ** 2, axis=-1, keepdims=True))
+    # Safe norm: sqrt has an infinite derivative at 0, and exactly-coincident
+    # points DO occur (sampled minimal subsets under a concentrated weight
+    # softmax collapse to copies of one correspondence — the sample-loss NaN
+    # at ablation iter ~400). Zero gradient at the degenerate point.
+    d2 = jnp.sum(centered[..., :2] ** 2, axis=-1, keepdims=True)
+    dist = jnp.where(d2 > 0, jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
     meandist = jnp.sum(w * dist, axis=-2) / denom  # [..., 1]
-    scale = jnp.sqrt(jnp.asarray(2.0, pts_h.dtype)) / (meandist[..., 0] + eps)
+    # Floor the mean distance so a fully-degenerate point set yields a large
+    # but f32-safe scale (1.4e6; an unbounded 1/eps scale makes downstream
+    # squared epipolar terms overflow to inf before the loss clamp). For any
+    # healthy set meandist is O(1) and the floor is inactive.
+    scale = jnp.sqrt(jnp.asarray(2.0, pts_h.dtype)) / jnp.maximum(
+        meandist[..., 0], jnp.asarray(1e-6, pts_h.dtype)
+    )
 
     z = jnp.zeros_like(scale)
     one = jnp.ones_like(scale)

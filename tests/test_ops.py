@@ -199,3 +199,59 @@ def test_sample_scores_no_overflow_with_concentrated_weights():
         return jnp.sum(o["sample_scores"] * jnp.sum(o["F_samples"], (-1, -2)))
     g = jax.grad(f)(w)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_weighted_eight_point_degenerate_duplicate_subset():
+    """A minimal subset collapsed to copies of ONE correspondence (what
+    categorical sampling produces once the weight softmax concentrates)
+    must keep finite forward values and finite gradients. Regression for
+    the sample-loss NaN at ablation iter ~400: sqrt'(0) = inf inside
+    Hartley normalization, plus an unbounded 1/meandist scale."""
+    p1 = jnp.tile(jnp.array([0.3, -0.2, 1.0]), (1, 20, 1))
+    p2 = jnp.tile(jnp.array([0.31, -0.19, 1.0]), (1, 20, 1))
+    w = jnp.full((1, 20), 0.05)
+
+    def loss(p1, p2, w):
+        fit = ops.weighted_eight_point(p1, p2, w)
+        return jnp.sum(fit.F**2) + jnp.sum(fit.residual**2)
+
+    val = loss(p1, p2, w)
+    assert np.isfinite(float(val))
+    grads = jax.grad(loss, argnums=(0, 1, 2))(p1, p2, w)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sample_loss_fits_grad_finite_one_hot_weights():
+    """End-to-end sample-loss fan-out under a near-one-hot weight softmax:
+    every sampled subset is ~20 copies of the same point; gradients back to
+    the logits must stay finite."""
+    from deepfepe_tpu.models.sample_fit import sample_loss_fits
+
+    N = 128
+    key = jax.random.PRNGKey(0)
+    pts1 = (
+        jax.random.uniform(key, (2, N, 3), minval=-1, maxval=1)
+        .at[..., 2].set(1.0)
+    )
+    pts2 = (
+        pts1
+        + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (2, N, 3))
+        .at[..., 2].set(0.0)
+    )
+    logits = jnp.zeros((2, N)).at[:, 0].set(40.0)
+    unique = jnp.full((2,), N)
+
+    def f(logits):
+        w = jax.nn.softmax(logits, axis=-1)
+        out = sample_loss_fits(
+            pts1, pts2, w, unique, jax.random.PRNGKey(2)
+        )
+        return (
+            jnp.sum(jnp.clip(out["F_samples"] ** 2, 0, 1.0))
+            + jnp.sum(out["sample_scores"])
+        )
+
+    v, g = jax.value_and_grad(f)(logits)
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all()
