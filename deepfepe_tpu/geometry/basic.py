@@ -19,6 +19,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_norm(x: jnp.ndarray, axis=-1, keepdims: bool = False) -> jnp.ndarray:
+    """L2 norm with a zero gradient at exactly-zero input.
+
+    jnp.linalg.norm's VJP at 0 is 0/0 = NaN, and a NaN survives even a zero
+    upstream cotangent (0 * NaN = NaN) — so one exactly-zero vector anywhere
+    on a differentiated path poisons the whole gradient. Exactly-zero inputs
+    DO occur here: a rank-deficient sampled-subset fit can return an F with
+    zero rows, making F·x1 ≡ 0 inside compute_epi_residual.
+    """
+    d2 = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.where(d2 > 0, jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+
+
 def homo(pts: jnp.ndarray) -> jnp.ndarray:
     """Append a homogeneous 1: [..., N, 2] -> [..., N, 3] (ref: utils_misc._homo)."""
     ones = jnp.ones(pts.shape[:-1] + (1,), dtype=pts.dtype)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .basic import homo, skew
+from .basic import homo, safe_norm, skew
 
 
 # ---------------------------------------------------------------------------
@@ -153,8 +153,11 @@ def compute_epi_residual(
     (utils_F.py:400-413); inputs are homogeneous [..., N, 3].
     """
     s, Fx1, Ftx2 = _prep(pts1_h, pts2_h, F, if_homo=True)
-    n1 = jnp.linalg.norm(Fx1[..., :2], axis=-1)
-    n2 = jnp.linalg.norm(Ftx2[..., :2], axis=-1)
+    # safe_norm, not jnp.linalg.norm: a degenerate sampled-subset F can have
+    # zero rows, making Fx1 exactly 0 — norm's NaN-at-0 VJP then poisons the
+    # whole gradient even though the clamp zeroes the upstream cotangent.
+    n1 = safe_norm(Fx1[..., :2], axis=-1)
+    n2 = safe_norm(Ftx2[..., :2], axis=-1)
     d = jnp.abs(s) * (1.0 / (n1 + eps) + 1.0 / (n2 + eps))
     return jnp.clip(d, max=clamp_at)
 

@@ -90,6 +90,31 @@ def test_deepfnet_variants_compile():
         assert np.all(np.isfinite(np.asarray(outs["F_est"])))
 
 
+def test_deepfnet_des_fusion_variant():
+    """Descriptor-fusion input path (ref: if_des -> ErrorEstimatorFeatFusion,
+    DeepFNet.py:330-333): fused per-point descriptors join the weight-net
+    input; gradients must flow back into them (the end-to-end SP path)."""
+    ds = SyntheticPairs(good_num=64, seed=12)
+    b = to_jax(ds.batch(2))
+    D = 8
+    b["des"] = jnp.asarray(
+        np.random.RandomState(0).randn(2, 64, D), jnp.float32
+    )
+    net = DeepFNet(
+        depth=2, image_size=(376, 1241), if_quality=True,
+        if_des=True, des_size=D,
+    )
+    params = net.init(jax.random.PRNGKey(0), b)
+
+    def f(des):
+        outs = net.apply(params, {**b, "des": des})
+        return jnp.sum(outs["F_est"] ** 2)
+
+    g = jax.grad(f)(b["des"])
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
 def test_training_reduces_floss():
     cfg = small_config(if_quality=True)
     net = make_net(cfg)

@@ -222,6 +222,32 @@ def test_weighted_eight_point_degenerate_duplicate_subset():
         assert np.isfinite(np.asarray(g)).all()
 
 
+def test_compute_epi_residual_grad_finite_zero_row_F():
+    """A rank-deficient sampled-subset fit can return an F with zero rows
+    (only the last row populated), making F·x1 exactly the zero vector.
+    norm's VJP at 0 is NaN and survives the clamp's zero cotangent
+    (0 * NaN = NaN) — the actual gradient-NaN at sample-loss iter 333.
+    compute_epi_residual must use a zero-safe norm."""
+    from deepfepe_tpu.geometry.epipolar import compute_epi_residual
+
+    F = jnp.array(
+        [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [1.4e6, 1.3e5, -3.0e5]]
+    )
+    rng = np.random.RandomState(0)
+    p1 = jnp.asarray(np.concatenate([rng.uniform(-1, 1, (50, 2)),
+                                     np.ones((50, 1))], -1), jnp.float32)
+    p2 = jnp.asarray(np.concatenate([rng.uniform(-1, 1, (50, 2)),
+                                     np.ones((50, 1))], -1), jnp.float32)
+
+    def f(F):
+        return jnp.mean(compute_epi_residual(p1, p2, F, clamp_at=0.02))
+
+    val = f(F)
+    assert np.isfinite(float(val))
+    g = jax.grad(f)(F)
+    assert np.isfinite(np.asarray(g)).all(), np.asarray(g)
+
+
 def test_sample_loss_fits_grad_finite_one_hot_weights():
     """End-to-end sample-loss fan-out under a near-one-hot weight softmax:
     every sampled subset is ~20 copies of the same point; gradients back to
