@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..ops.eigh import DEFAULT_GAP_EPS, safe_eigh, smallest_eigvec
-from .basic import homo, skew
+from .basic import homo, safe_norm, skew
 
 
 class EDecomposition(NamedTuple):
@@ -52,8 +52,10 @@ def decompose_E(E: jnp.ndarray, gap_eps: float = DEFAULT_GAP_EPS, eps: float = 1
 
     Ev1 = (E @ V[..., :, 0:1])[..., 0]
     Ev2 = (E @ V[..., :, 1:2])[..., 0]
-    u1 = Ev1 / (jnp.linalg.norm(Ev1, axis=-1, keepdims=True) + eps)
-    u2 = Ev2 / (jnp.linalg.norm(Ev2, axis=-1, keepdims=True) + eps)
+    # safe_norm: for a degenerate (e.g. zero) E these are exactly-zero
+    # vectors, and jnp.linalg.norm's VJP at 0 would poison the gradient.
+    u1 = Ev1 / (safe_norm(Ev1, axis=-1, keepdims=True) + eps)
+    u2 = Ev2 / (safe_norm(Ev2, axis=-1, keepdims=True) + eps)
     u3 = jnp.cross(u1, u2)
     U = jnp.stack([u1, u2, u3], axis=-1)  # columns
 
@@ -66,7 +68,7 @@ def decompose_E(E: jnp.ndarray, gap_eps: float = DEFAULT_GAP_EPS, eps: float = 1
     Wc = W * sign  # W := -W when det < 0, as in the reference
     R1 = U @ Wc @ Vt
     R2 = U @ jnp.swapaxes(Wc, -1, -2) @ Vt
-    t = u3 / (jnp.linalg.norm(u3, axis=-1, keepdims=True) + eps)
+    t = u3 / (safe_norm(u3, axis=-1, keepdims=True) + eps)
     return EDecomposition(R1=R1, R2=R2, t=t)
 
 

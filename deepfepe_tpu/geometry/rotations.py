@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .basic import safe_norm
+
 
 def R_to_q(R: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Rotation matrix [..., 3, 3] -> unit quaternion [..., 4] (w,x,y,z).
@@ -112,8 +114,10 @@ def vector_angle(v1: jnp.ndarray, v2: jnp.ndarray, eps: float = 1e-10) -> jnp.nd
     if v2.shape[-1] == 1:
         v2 = v2[..., 0]
     dot = jnp.sum(v1 * v2, axis=-1)
-    n1 = jnp.linalg.norm(v1, axis=-1) + eps
-    n2 = jnp.linalg.norm(v2, axis=-1) + eps
+    # safe_norm: zero-vector inputs occur for degenerate pose candidates and
+    # jnp.linalg.norm's VJP at 0 is NaN.
+    n1 = safe_norm(v1, axis=-1) + eps
+    n2 = safe_norm(v2, axis=-1) + eps
     cos = jnp.clip(dot / (n1 * n2 + eps), -1.0, 1.0)
     return jnp.degrees(jnp.arccos(cos))
 
