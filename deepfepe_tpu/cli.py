@@ -54,8 +54,21 @@ def cmd_train(args):
         trainer.restore(args.pretrained, first)
         print(f"restored from {args.pretrained} @ iter {trainer.n_iter}")
 
+    def cycle():
+        # Epoch datasets (the dump loaders) yield ONE pass per batches()
+        # call; fit() must see an endless stream up to train_iter, as the
+        # reference's `while True: train_epoch()` loop does
+        # (train_good.py:270-276).
+        while True:
+            empty = True
+            for b in train_ds.batches(bs):
+                empty = False
+                yield b
+            if empty:
+                raise RuntimeError("train dataset produced no batches")
+
     last = trainer.fit(
-        train_ds.batches(bs),
+        cycle(),
         val_stream_fn=lambda: val_ds.batches(bs),
         max_iters=cfg.training.train_iter,
     )
@@ -169,6 +182,8 @@ def cmd_eval_vo(args):
         batch_iter = ds.ordered_pair_batches(bs, scene_name=args.scene or None)
         gt_traj = None  # chained below from gt relative poses
         lengths = None  # KITTI default 100..800m
+    if args.lengths:
+        lengths = tuple(float(x) for x in args.lengths.split(","))
 
     first = None
     rels_est, rels_gt, errqs, errts = [], [], [], []
@@ -290,6 +305,9 @@ def main(argv=None):
     sp.add_argument("--pretrained", default="")
     sp.add_argument("--scene", default="")
     sp.add_argument("--n_frames", type=int, default=0)
+    sp.add_argument("--lengths", default="",
+                    help="comma list of segment lengths for trans/rot "
+                         "errors (default: KITTI 100..800m)")
     sp.add_argument("--baseline", action="store_true",
                     help="use the RANSAC-8pt baseline instead of the net")
     sp.set_defaults(fn=cmd_eval_vo)

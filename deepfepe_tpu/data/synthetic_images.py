@@ -147,3 +147,92 @@ class SyntheticImagePairs:
         out["pts1_virt"] = np.asarray(p1v, np.float32)
         out["pts2_virt"] = np.asarray(p2v, np.float32)
         return out
+
+
+class SyntheticImageSequence:
+    """A PERSISTENT two-plane scene viewed along a smooth forward-dominant
+    trajectory: every frame is a homography warp of the same frame-0
+    textures, so consecutive frames are photometrically consistent with the
+    chained gt poses and classical features (SIFT) track across the whole
+    sequence — the input the reference's dump tooling expects
+    (`deepFEPE_data` repo, SURVEY.md §2.6), rendered from exact gt.
+    """
+
+    def __init__(
+        self,
+        n_frames: int = 60,
+        image_size: Tuple[int, int] = (240, 320),
+        focal: float = 280.0,
+        depths: Tuple[float, float] = (12.0, 24.0),
+        step_length: float = 0.12,
+        max_angle_deg: float = 0.6,
+        n_blobs: int = 240,
+        seed: int = 0,
+    ):
+        self.n_frames = n_frames
+        self.image_size = image_size
+        self.depths = depths
+        rng = np.random.RandomState(seed)
+        H, W = image_size
+        self.K = np.array(
+            [[focal, 0, W / 2.0], [0, focal, H / 2.0], [0, 0, 1.0]]
+        )
+
+        # Canonical (frame-0) appearance: left half near plane, right far.
+        split = W // 2
+        self.layers = []  # (texture*region, depth) in frame-0 camera coords
+        for idx, d in enumerate(depths):
+            tex = _render_texture(rng, H, W, n_blobs=n_blobs)
+            region = np.zeros((H, W))
+            if idx == 0:
+                region[:, :split] = 1.0
+            else:
+                region[:, split:] = 1.0
+            self.layers.append((tex * region, d))
+
+        # Trajectory: x_k = R_step x_{k-1} + t_step, accumulated into
+        # T_0k (frame-0 -> frame-k). Forward motion along +z, small jitter.
+        T_0k = np.eye(4)
+        self.T_0k_list = [T_0k.copy()]
+        for _ in range(n_frames - 1):
+            R = _random_rotation(rng, max_angle_deg)
+            t = np.array(
+                [
+                    rng.randn() * 0.02,
+                    rng.randn() * 0.015,
+                    step_length * (0.9 + 0.2 * rng.rand()),
+                ]
+            )
+            step = np.eye(4)
+            step[:3, :3], step[:3, 3] = R, t
+            T_0k = step @ T_0k
+            self.T_0k_list.append(T_0k.copy())
+        total_z = self.T_0k_list[-1][2, 3]
+        if total_z > 0.7 * min(depths):
+            raise ValueError(
+                f"trajectory advances {total_z:.2f} toward a plane at depth "
+                f"{min(depths)}; reduce n_frames or step_length"
+            )
+
+    def frame(self, k: int) -> np.ndarray:
+        """Render frame k in [0, 1]: warp each canonical plane layer by the
+        plane-induced homography H_0k = K (R + t nᵀ/d) K⁻¹ of T_0k."""
+        H, W = self.image_size
+        T = self.T_0k_list[k]
+        R, t = T[:3, :3], T[:3, 3]
+        img = np.zeros((H, W))
+        n = np.array([0.0, 0.0, 1.0])
+        for layer, d in self.layers:
+            Hm = self.K @ (R + np.outer(t, n) / d) @ np.linalg.inv(self.K)
+            img += _warp_bilinear(layer, np.linalg.inv(Hm), H, W)
+        return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+    def frames(self) -> np.ndarray:
+        return np.stack([self.frame(k) for k in range(self.n_frames)])
+
+    def cam2world_poses(self) -> np.ndarray:
+        """[N, 3, 4] camera-to-world gt poses (world := frame-0 camera) —
+        the `poses.npy` convention of the dump layout."""
+        return np.stack(
+            [np.linalg.inv(T)[:3] for T in self.T_0k_list]
+        )

@@ -34,8 +34,14 @@ def data_loader(cfg: Config, task: str = "train"):
 
         return _Stream()
     elif d.dataset in ("kitti_odo_corr", "apollo", "tum", "euroc"):
+        scenes = {
+            "train": d.train_scenes,
+            "val": d.val_scenes,
+            "test": d.test_scenes,
+        }.get(task)
         return KittiCorrDataset(
             d.dump_root,
+            scenes=list(scenes) if scenes else None,
             delta_ij=d.delta_ij,
             good_num=d.good_num,
             image_size=tuple(d.image_size),

@@ -27,6 +27,12 @@ class DataConfig:
     resize: Optional[Tuple[int, int]] = (376, 1240)
     with_quality: bool = True
     with_pose: bool = True
+    # Per-task scene lists for dump datasets (ref: per-task {train,val}.txt
+    # frame lists + eval configs pinning seqs 09/10, kitti_odo_corr.py:100).
+    # None -> crawl every scene directory under dump_root.
+    train_scenes: Optional[Sequence[str]] = None
+    val_scenes: Optional[Sequence[str]] = None
+    test_scenes: Optional[Sequence[str]] = None
     # synthetic-only knobs
     noise_px: float = 0.5
     outlier_frac: float = 0.15

@@ -13,6 +13,71 @@ from deepfepe_tpu.data.synthetic_images import SyntheticImagePairs
 cv2 = pytest.importorskip("cv2")
 
 
+def test_synthetic_image_sequence_epipolar_consistency():
+    """Persistent-scene sequence: SIFT matches between consecutive frames
+    must lie on the epipolar lines of the chained gt poses."""
+    from deepfepe_tpu.data.dump_kitti import knn_match, sift_detect
+    from deepfepe_tpu.data.synthetic_images import SyntheticImageSequence
+
+    seq = SyntheticImageSequence(n_frames=6, seed=3)
+    fr = seq.frames()
+    K = seq.K
+    for i, j in [(0, 1), (4, 5), (0, 3)]:
+        p1, d1 = sift_detect((fr[i] * 255).astype(np.uint8), 2000)
+        p2, d2 = sift_detect((fr[j] * 255).astype(np.uint8), 2000)
+        idx, _ = knn_match(d1, d2, 0.8)
+        assert len(idx) > 80, (i, j, len(idx))
+        Tij = seq.T_0k_list[j] @ np.linalg.inv(seq.T_0k_list[i])
+        R, t = Tij[:3, :3], Tij[:3, 3]
+        tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                       [-t[1], t[0], 0]])
+        F = np.linalg.inv(K).T @ (tx @ R) @ np.linalg.inv(K)
+        d, _, _ = geo.epi_distance(
+            jnp.asarray(F)[None],
+            jnp.asarray(p1[idx[:, 0]])[None],
+            jnp.asarray(p2[idx[:, 1]])[None],
+        )
+        d = np.asarray(d)[0]
+        assert np.median(d) < 0.5, (i, j, np.median(d))
+        assert np.mean(d < 3.0) > 0.8, (i, j, np.mean(d < 3.0))
+
+
+def test_loader_scene_split(tmp_path):
+    """data_loader must respect per-task scene lists (ref: train/val txt
+    lists + eval configs pinning seqs 09/10)."""
+    from deepfepe_tpu.data.dump_kitti import dump_sequence
+    from deepfepe_tpu.data.synthetic_images import SyntheticImageSequence
+    from deepfepe_tpu.loader import data_loader
+    from deepfepe_tpu.train import Config
+
+    for scene, seed, n in (("00", 0, 4), ("09", 7, 3)):
+        seq = SyntheticImageSequence(n_frames=n, seed=seed)
+        files = []
+        d = tmp_path / scene
+        d.mkdir()
+        for k in range(n):
+            f = str(d / f"{k:06d}.jpg")
+            cv2.imwrite(f, (seq.frame(k) * 255).astype(np.uint8))
+            files.append(f)
+        dump_sequence(files, seq.cam2world_poses(), seq.K, str(d))
+
+    cfg = Config()
+    cfg.data.dataset = "kitti_odo_corr"
+    cfg.data.dump_root = str(tmp_path)
+    cfg.data.image_size = (240, 320)
+    cfg.data.resize = (240, 320)
+    cfg.data.good_num = 64
+    cfg.data.train_scenes = ["00"]
+    cfg.data.test_scenes = ["09"]
+    train = data_loader(cfg, "train")
+    test = data_loader(cfg, "test")
+    assert len(train) == 3 and len(test) == 2
+    assert {s["scene_name"] for s in train.samples} == {"00"}
+    assert {s["scene_name"] for s in test.samples} == {"09"}
+    # val falls back to all scenes when unset
+    assert len(data_loader(cfg, "val")) == 5
+
+
 def test_dump_and_reload_roundtrip(tmp_path, rng):
     from deepfepe_tpu.data.dump_kitti import dump_sequence, match_pair
 
