@@ -236,3 +236,50 @@ class SyntheticImageSequence:
         return np.stack(
             [np.linalg.inv(T)[:3] for T in self.T_0k_list]
         )
+
+    def gt_trajectory(self) -> np.ndarray:
+        """[N, 4, 4] cam-to-world gt poses (KITTI gt file convention)."""
+        out = np.tile(np.eye(4), (self.n_frames, 1, 1))
+        out[:, :3] = self.cam2world_poses()
+        return out
+
+    def _pair_item(self, i: int) -> Dict[str, np.ndarray]:
+        """Consecutive-pair sample (frames i, i+1) with images + exact gt,
+        for the full SP-frontend pipeline (no precomputed matches)."""
+        Tij = self.T_0k_list[i + 1] @ np.linalg.inv(self.T_0k_list[i])
+        R, t = Tij[:3, :3], Tij[:3, 3]
+        tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+        E = tx @ R
+        K = self.K
+        F = np.linalg.inv(K).T @ E @ np.linalg.inv(K)
+        T_inv = np.linalg.inv(Tij)
+        return {
+            "imgs_grey": np.stack(
+                [self.frame(i), self.frame(i + 1)]
+            ).astype(np.float32),
+            "Ks": K.astype(np.float32),
+            "K_invs": np.linalg.inv(K).astype(np.float32),
+            "E_gts": E.astype(np.float32),
+            "F_gts": (F / np.linalg.norm(F)).astype(np.float32),
+            "q_cam": _R_to_q_np(T_inv[:3, :3]).astype(np.float32),
+            "t_cam": T_inv[:3, 3].astype(np.float32),
+            "delta_Rtijs_4_4": Tij.astype(np.float32),
+            "t_scene_scale": np.float32(np.linalg.norm(t)),
+            "frame_i": np.int32(i),
+        }
+
+    def pair_batches(self, batch_size: int):
+        """Frame-ordered consecutive-pair batches over the whole sequence
+        (last partial batch padded by repeating the final pair; items carry
+        'frame_i' for de-duplication, as the dump loader does)."""
+        items = [self._pair_item(i) for i in range(self.n_frames - 1)]
+        for s in range(0, len(items), batch_size):
+            chunk = items[s : s + batch_size]
+            while len(chunk) < batch_size:
+                chunk.append(chunk[-1])
+            out = {k: np.stack([it[k] for it in chunk]) for k in chunk[0]}
+            F = jnp.asarray(out["F_gts"])
+            p1v, p2v = get_virtual_points(F, self.image_size, iters=8)
+            out["pts1_virt"] = np.asarray(p1v, np.float32)
+            out["pts2_virt"] = np.asarray(p2v, np.float32)
+            yield out

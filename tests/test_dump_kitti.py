@@ -42,6 +42,26 @@ def test_synthetic_image_sequence_epipolar_consistency():
         assert np.mean(d < 3.0) > 0.8, (i, j, np.mean(d < 3.0))
 
 
+def test_image_sequence_pair_batches():
+    from deepfepe_tpu.data.synthetic_images import SyntheticImageSequence
+
+    seq = SyntheticImageSequence(n_frames=7, image_size=(120, 160), seed=2)
+    batches = list(seq.pair_batches(4))
+    assert len(batches) == 2  # 6 pairs -> 4 + (2 padded to 4)
+    b = batches[0]
+    assert b["imgs_grey"].shape == (4, 2, 120, 160)
+    assert b["pts1_virt"].shape[0] == 4
+    assert list(b["frame_i"]) == [0, 1, 2, 3]
+    # padded tail repeats the final pair
+    assert list(batches[1]["frame_i"]) == [4, 5, 5, 5]
+    # gt relative pose matches the chained trajectory
+    gt = seq.gt_trajectory()
+    rel = np.linalg.inv(gt[1]) @ gt[0]
+    np.testing.assert_allclose(
+        np.asarray(b["delta_Rtijs_4_4"][0]), rel, atol=1e-5
+    )
+
+
 def test_loader_scene_split(tmp_path):
     """data_loader must respect per-task scene lists (ref: train/val txt
     lists + eval configs pinning seqs 09/10)."""
