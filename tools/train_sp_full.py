@@ -167,6 +167,8 @@ def main():
             mf.flush()
         if it and it % args.save_every == 0:
             save(f"joint_{it}")
+    if args.joint_iters:
+        save("joint_final")
     # --- Stage C: homographic adaptation on unlabeled "real" images ------
     # (textured synthetic renders stand in for the real-image corpus):
     # aggregate the detector over random homographic views to create
@@ -199,10 +201,22 @@ def main():
         det_step = make_detector_train_step(net, tx)
         t0 = time.time()
         for it in range(args.ha_iters):
-            idx = rng.randint(0, len(imgs), args.batch)
+            # Half HA pseudo-labels, half fresh exactly-labeled shape
+            # renders: a small fixed HA pool alone (256 imgs x many epochs)
+            # memorizes (CE -> 5e-6) and catastrophically forgets the
+            # corner prior — measured: matches 22.6 -> 11.5 after the
+            # unmixed stage C of the first sp_full run.
+            k = args.batch // 2
+            idx = rng.randint(0, len(imgs), k)
+            fresh = [ds.sample() for _ in range(args.batch - k)]
             b = {
-                "image": np.stack([imgs[i] for i in idx]),
-                "cells": np.stack([labels[i] for i in idx]),
+                "image": np.stack(
+                    [imgs[i] for i in idx] + [it_[0] for it_ in fresh]
+                ),
+                "cells": np.stack(
+                    [labels[i] for i in idx]
+                    + [ds.corners_to_cells(it_[1]) for it_ in fresh]
+                ),
             }
             params, opt_state, loss = det_step(params, opt_state, b)
             if it % 100 == 0 or it == args.ha_iters - 1:
