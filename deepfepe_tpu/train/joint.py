@@ -126,6 +126,9 @@ def make_joint_eval_step(deepf_net, sp_net, fp: FrontendParams, cfg: Config):
             float(cfg.training.clamp_t_params[-1]),
         )
         metrics["matches_xy"] = sp_out["matches_xy_ori"]
+        metrics["num_matches"] = jnp.mean(
+            jnp.sum(sp_out["valid"], axis=-1).astype(jnp.float32)
+        )
         return metrics
 
     return eval_step
