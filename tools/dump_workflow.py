@@ -37,7 +37,7 @@ desc: 'SIFT-dump workflow on synthetic persistent-scene sequences'
 data:
     dataset: 'kitti_odo_corr'
     dump_root: '{root}'
-    train_scenes: ['00']
+    train_scenes: ['00', '01', '02']
     val_scenes: ['09']
     test_scenes: ['09']
     sequence_length: 2
@@ -123,8 +123,12 @@ def main():
         import time
 
         t0 = time.time()
-        render_and_dump(root, "00", args.train_frames, seed=0,
-                        image_size=(H, W))
+        # Several short train scenes (scene diversity; also keeps each
+        # trajectory within its scene's plane depths) + one test scene.
+        per_scene = max(args.train_frames // 3, 4)
+        for scene, seed in (("00", 0), ("01", 1), ("02", 2)):
+            render_and_dump(root, scene, per_scene, seed=seed,
+                            image_size=(H, W))
         render_and_dump(root, "09", args.test_frames, seed=7,
                         image_size=(H, W))
         print(f"rendered+dumped in {time.time() - t0:.1f}s", flush=True)
