@@ -78,6 +78,20 @@ def get_matches_from_sp(
     quality = jnp.where(
         m.valid, 1.0 - m.scores / fp.nn_thresh, 0.0
     )[..., None]
+    # Pad empty slots by cyclically resampling the REAL matches, as the
+    # reference's crop_or_pad_choice does (utils_misc.py:139-161). Zero
+    # padding instead puts ~(1 - n_valid/N) of the solver's initial softmax
+    # mass on degenerate (0,0)-(0,0) rows, which pins the F-loss at the
+    # clamp and stalls joint training (measured: stage-1 loss flat at
+    # 0.0197~clamp_at with 20 valid of 200 slots). Matches are sorted
+    # valid-first, so index i >= n_valid maps to i mod n_valid.
+    n = matches_xy.shape[-2]
+    ar = jnp.arange(n)[None, :]
+    n_valid = jnp.sum(m.valid.astype(jnp.int32), axis=-1, keepdims=True)
+    pad_idx = ar % jnp.maximum(n_valid, 1)
+    idx = jnp.where(m.valid, ar, pad_idx)
+    matches_xy = jnp.take_along_axis(matches_xy, idx[..., None], axis=-2)
+    quality = jnp.take_along_axis(quality, idx[..., None], axis=-2)
     return {
         "matches_xy_ori": matches_xy,
         "quality": quality,

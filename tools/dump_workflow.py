@@ -107,6 +107,9 @@ def main():
     ap.add_argument("--train_frames", type=int, default=120)
     ap.add_argument("--test_frames", type=int, default=60)
     ap.add_argument("--train_iter", type=int, default=800)
+    ap.add_argument("--qt_iter", type=int, default=0,
+                    help="stage-2 qt-loss iters after the F stage "
+                         "(the reference's staged recipe)")
     ap.add_argument("--good_num", type=int, default=300)
     ap.add_argument("--image", type=int, nargs=2, default=(240, 320))
     ap.add_argument("--cpu", action="store_true")
@@ -146,6 +149,31 @@ def main():
         f"deepFNet_{args.train_iter}_checkpoint.msgpack",
     )
     summary = {"ckpt": ckpt}
+    if args.qt_iter:
+        # Stage 2: pose (q, t) loss from the F-stage checkpoint
+        # (balance_t 1.0 per the synthetic_qt.yaml finding).
+        qt_cfg_path = os.path.join(out, "config_qt.yaml")
+        with open(qt_cfg_path, "w") as f:
+            f.write(
+                CONFIG_TMPL.format(
+                    root=root, good_num=args.good_num, h=H, w=W,
+                    train_iter=args.qt_iter,
+                ).replace(
+                    "    if_quality: true",
+                    "    if_quality: true\n    if_qt_loss: true\n"
+                    "    balance_q: 1\n    balance_t: 1.0",
+                )
+            )
+        # The restored state resumes at n_iter=train_iter, so the stage-2
+        # budget is expressed as the TOTAL iteration count.
+        total = args.train_iter + args.qt_iter
+        run_cli(["train_good", qt_cfg_path, exp + "_qt", "--pretrained",
+                 ckpt, "--train_iter", str(total)])
+        ckpt = os.path.join(
+            "logs", exp + "_qt", "checkpoints",
+            f"deepFNet_{total}_checkpoint.msgpack",
+        )
+        summary["ckpt_qt"] = ckpt
     summary["eval_good"] = run_cli(
         ["eval_good", cfg_path, exp + "_eval", "--pretrained", ckpt]
     )
