@@ -1,0 +1,113 @@
+"""Tensor-parallel (model-axis) sharding tests on the virtual 8-device mesh.
+
+SURVEY.md §2.5's TP row: shard the wide MLP layers column-wise over the
+'model' axis; numerics must match the replicated run (XLA inserts the
+collectives from the committed shardings)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from deepfepe_tpu.data import SyntheticPairs
+from deepfepe_tpu.models import DeepFNet
+from deepfepe_tpu.parallel import (
+    MODEL_AXIS,
+    make_mesh,
+    shard_batch,
+    shard_params_tp,
+    tp_param_shardings,
+)
+from deepfepe_tpu.train import Config, Trainer
+from deepfepe_tpu.train.engine import compute_losses
+
+
+def _cfg():
+    cfg = Config()
+    cfg.data.good_num = 128
+    cfg.data.batch_size = 4
+    cfg.model.depth = 3
+    cfg.model.if_quality = True
+    return cfg
+
+
+def test_tp_shardings_cover_wide_layers():
+    cfg = _cfg()
+    net = DeepFNet(depth=3, image_size=(376, 1241), if_quality=True)
+    ds = SyntheticPairs(good_num=128, seed=1)
+    batch = ds.batch(4)
+    params = net.init(jax.random.PRNGKey(0), batch)
+    mesh = make_mesh(n_data=2, n_model=4)
+    sh = tp_param_shardings(mesh, params)
+    leaves = jax.tree_util.tree_leaves_with_path(sh)
+    n_sharded = sum(
+        1 for _, s in leaves if s.spec and s.spec[-1] == MODEL_AXIS
+    )
+    n_total = len(leaves)
+    # The 1024/512/256-wide kernels, biases and IN affines shard; the
+    # narrow stem (4->64->128) and the 1-channel head stay replicated.
+    assert n_sharded >= n_total // 3, (n_sharded, n_total)
+
+    def check(x, s):
+        if s.spec and s.spec[-1] == MODEL_AXIS:
+            assert x.shape[-1] % 4 == 0 and x.shape[-1] >= 256, x.shape
+
+    jax.tree_util.tree_map(check, params, sh)
+
+
+def test_tp_loss_and_grads_match_replicated():
+    cfg = _cfg()
+    net = DeepFNet(depth=3, image_size=(376, 1241), if_quality=True)
+    ds = SyntheticPairs(good_num=128, seed=2)
+    batch = ds.batch(4)
+    params = net.init(jax.random.PRNGKey(0), batch)
+
+    def loss_fn(params, b):
+        return compute_losses(net, params, b, cfg, 0.1, 0.5)[0]
+
+    # Replicated single-device reference.
+    mesh1 = make_mesh(n_data=1)
+    l0, g0 = jax.value_and_grad(loss_fn)(params, shard_batch(mesh1, batch))
+
+    # DP x TP: batch over 'data' (2), wide channels over 'model' (4).
+    mesh = make_mesh(n_data=2, n_model=4)
+    p_tp = shard_params_tp(mesh, params)
+    b_tp = shard_batch(mesh, batch)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_fn))(p_tp, b_tp)
+
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    v0 = np.concatenate(
+        [np.ravel(x) for x in jax.tree_util.tree_leaves(jax.device_get(g0))]
+    )
+    v1 = np.concatenate(
+        [np.ravel(x) for x in jax.tree_util.tree_leaves(jax.device_get(g1))]
+    )
+    cos = np.dot(v0, v1) / (np.linalg.norm(v0) * np.linalg.norm(v1))
+    assert cos > 1 - 1e-5, cos
+
+
+def test_tp_train_step_runs_and_keeps_shardings():
+    cfg = _cfg()
+    net = DeepFNet(depth=3, image_size=(376, 1241), if_quality=True)
+    ds = SyntheticPairs(good_num=128, seed=3)
+    batch = ds.batch(4)
+    mesh = make_mesh(n_data=2, n_model=4)
+    trainer = Trainer(net, cfg, mesh=mesh)
+    trainer.init_state(batch)
+    # Re-commit the params with TP shardings and step twice.
+    state = trainer.state.replace(
+        params=shard_params_tp(mesh, trainer.state.params)
+    )
+    b = shard_batch(mesh, batch)
+    state, m1 = trainer.train_step(state, b, 0.1, 0.5)
+    state, m2 = trainer.train_step(state, b, 0.1, 0.5)
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) < float(m1["loss"])
+    # The updated params keep the model-axis sharding (no silent gather).
+    specs = [
+        x.sharding.spec
+        for x in jax.tree_util.tree_leaves(state.params)
+        if hasattr(x, "sharding") and x.sharding.spec
+    ]
+    assert any(s[-1] == MODEL_AXIS for s in specs if len(s)), specs
