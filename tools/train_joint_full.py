@@ -43,8 +43,8 @@ from deepfepe_tpu.train.joint import (
     make_joint_train_step,
 )
 
-IMG = (120, 160)
-NPTS = 200
+IMG = (120, 160)  # default; override with --image
+NPTS = 200        # default; override with --npts
 
 
 def evaluate(deepf_net, sp_net, fp, cfg, state, ds_eval, batches, key):
@@ -83,7 +83,15 @@ def main():
     ap.add_argument("--lr_deepf", type=float, default=1e-4)
     ap.add_argument("--lr_sp", type=float, default=1e-6)
     ap.add_argument("--eval_batches", type=int, default=6)
+    ap.add_argument("--image", type=int, nargs=2, default=list(IMG))
+    ap.add_argument("--npts", type=int, default=NPTS)
+    ap.add_argument("--t_scale", type=float, default=0.15)
+    ap.add_argument("--conf", type=float, default=0.010)
+    ap.add_argument("--nn_thresh", type=float, default=0.9)
     args = ap.parse_args()
+    global IMG, NPTS
+    IMG = tuple(args.image)
+    NPTS = args.npts
     os.makedirs(args.out, exist_ok=True)
     mf = open(os.path.join(args.out, "metrics.jsonl"), "a")
 
@@ -98,14 +106,18 @@ def main():
     cfg.data.good_num = NPTS
     cfg.data.batch_size = args.batch
 
-    ds = SyntheticImagePairs(image_size=IMG, seed=0)
-    ds_eval = SyntheticImagePairs(image_size=IMG, seed=777)
+    focal = 140.0 * IMG[1] / 160.0
+    ds = SyntheticImagePairs(image_size=IMG, focal=focal,
+                             t_scale=args.t_scale, seed=0)
+    ds_eval = SyntheticImagePairs(image_size=IMG, focal=focal,
+                                  t_scale=args.t_scale, seed=777)
 
     sp_net = SuperPointNet()
     deepf_net = DeepFNet(
         depth=5, image_size=IMG, if_quality=True, mlp_dtype=jnp.bfloat16
     )
-    fp = FrontendParams(out_num_points=NPTS, conf_thresh=0.010, nn_thresh=0.9)
+    fp = FrontendParams(out_num_points=NPTS, conf_thresh=args.conf,
+                        nn_thresh=args.nn_thresh)
 
     batch = {k: jnp.asarray(v) for k, v in ds.batch(args.batch).items()}
     sp_params = sp_net.init(
