@@ -73,6 +73,7 @@ def evaluate(deepf_net, sp_net, fp, cfg, state, ds_eval, batches, key):
 
 
 def main():
+    global IMG, NPTS
     ap = argparse.ArgumentParser()
     ap.add_argument("--sp", required=True, help="pretrained SP msgpack")
     ap.add_argument("--deepf", default="", help="optional DeepF msgpack")
@@ -89,7 +90,6 @@ def main():
     ap.add_argument("--conf", type=float, default=0.010)
     ap.add_argument("--nn_thresh", type=float, default=0.9)
     args = ap.parse_args()
-    global IMG, NPTS
     IMG = tuple(args.image)
     NPTS = args.npts
     os.makedirs(args.out, exist_ok=True)
