@@ -31,6 +31,7 @@ NPTS = 200
 
 
 def main():
+    global IMG, NPTS
     ap = argparse.ArgumentParser()
     ap.add_argument("--sp", required=True)
     ap.add_argument("--deepf", default="")
@@ -40,8 +41,14 @@ def main():
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--conf", type=float, default=0.010)
     ap.add_argument("--nn_thresh", type=float, default=0.9)
+    ap.add_argument("--image", type=int, nargs=2, default=list(IMG))
+    ap.add_argument("--npts", type=int, default=NPTS)
+    ap.add_argument("--step_scale", type=float, default=1.0,
+                    help="multiplier on the auto-chosen step_length")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    IMG = tuple(args.image)
+    NPTS = args.npts
     if args.cpu:
         os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
         jax.config.update("jax_platforms", "cpu")
@@ -65,8 +72,10 @@ def main():
 
     # step_length sized so the trajectory stays within the scene depth.
     seq = SyntheticImageSequence(
-        n_frames=args.n_frames, image_size=IMG, focal=140.0,
-        step_length=min(0.12, 0.6 * 12.0 / args.n_frames), seed=args.seed,
+        n_frames=args.n_frames, image_size=IMG,
+        focal=140.0 * IMG[1] / 160.0,
+        step_length=args.step_scale * min(0.12, 0.6 * 12.0 / args.n_frames),
+        seed=args.seed,
     )
 
     cfg = Config()
