@@ -33,7 +33,12 @@ def descriptor_distance(
     dot = jnp.einsum(
         "...id,...jd->...ij", desc1, desc2, preferred_element_type=jnp.float32
     ).astype(desc1.dtype)
-    return jnp.sqrt(jnp.clip(2.0 - 2.0 * dot, min=0.0))
+    d2 = jnp.clip(2.0 - 2.0 * dot, min=0.0)
+    # Zero-safe sqrt: matched pairs MINIMIZE this distance, so identical
+    # descriptors (d2 exactly 0) are the attractor — and sqrt's VJP at 0 is
+    # inf. scores feed the differentiable match quality, so a plain sqrt
+    # NaN'd the SuperPoint params in end-to-end stage-2 training.
+    return jnp.where(d2 > 0, jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
 
 
 def mutual_nn_match(

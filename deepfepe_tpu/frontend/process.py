@@ -19,6 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..geometry.basic import safe_norm
+
 
 class Keypoints(NamedTuple):
     xy: jnp.ndarray      # [B, K, 2] integer NMS positions (x, y), float dtype
@@ -147,7 +149,7 @@ def sample_descriptors(
         + d10 * (1 - fx) * fy
         + d11 * fx * fy
     )
-    return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + eps)
+    return d / (safe_norm(d, axis=-1, keepdims=True) + eps)
 
 
 def extract_keypoints(

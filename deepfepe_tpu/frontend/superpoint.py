@@ -16,6 +16,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..geometry.basic import safe_norm
+
 
 class SuperPointNet(nn.Module):
     """VGG-style SuperPoint with detector + descriptor heads."""
@@ -50,7 +52,7 @@ class SuperPointNet(nn.Module):
         # Descriptor head: dense 256-d at 1/8 resolution.
         e = relu(nn.Conv(256, (3, 3), padding="SAME", name="convDa")(y))
         desc = nn.Conv(self.desc_dim, (1, 1), name="convDb")(e)
-        desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-10)
+        desc = desc / (safe_norm(desc, axis=-1, keepdims=True) + 1e-10)
 
         return {"semi": semi, "desc": desc}
 

@@ -167,3 +167,18 @@ def test_warp_labels(rng):
     # First corner: (15, 5) in-bounds; third: (100, 55) out of x-range.
     assert len(out) == 2
     np.testing.assert_allclose(out[0], [15.0, 5.0])
+
+
+def test_descriptor_distance_grad_finite_at_identical_descriptors():
+    """Matched pairs minimize the L2 descriptor distance, so identical
+    descriptors (distance exactly 0) are the attractor of end-to-end
+    training — and sqrt's VJP at 0 is inf. This NaN'd the SuperPoint
+    params in joint stage-2 (experiments/joint_full3); the distance must
+    have a zero-safe gradient."""
+    d = jnp.full((1, 3, 8), 1.0 / np.sqrt(8.0), jnp.float32)
+
+    def f(d1):
+        return jnp.sum(descriptor_distance(d1, d))
+
+    g = jax.grad(f)(d)
+    assert np.isfinite(np.asarray(g)).all()

@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--t_scale", type=float, default=0.15)
     ap.add_argument("--conf", type=float, default=0.010)
     ap.add_argument("--nn_thresh", type=float, default=0.9)
+    ap.add_argument("--clamp_at", type=float, default=0.02,
+                    help="F-loss residual clamp; the reference's 0.02 "
+                         "saturates on noisy SP matches — a looser clamp "
+                         "gives the early iterations gradient signal")
     args = ap.parse_args()
     IMG = tuple(args.image)
     NPTS = args.npts
@@ -103,6 +107,7 @@ def main():
     cfg = Config()
     cfg.model.depth = 5
     cfg.model.if_quality = True
+    cfg.model.clamp_at = args.clamp_at
     cfg.data.good_num = NPTS
     cfg.data.batch_size = args.batch
 
