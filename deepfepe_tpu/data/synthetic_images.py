@@ -20,8 +20,14 @@ from ..geometry import get_virtual_points
 from .synthetic import _R_to_q_np, _random_rotation
 
 
-def _render_texture(rng, H, W, n_blobs=60):
-    """Random gaussian-blob texture in [0, 1] with rich local structure."""
+def _render_texture(rng, H, W, n_blobs=60, n_corners=0):
+    """Random gaussian-blob texture in [0, 1] with rich local structure.
+
+    `n_corners` additionally stamps hard-edged random rectangles/triangles
+    (axis-rotated), whose corners are what a corner detector (SuperPoint)
+    actually fires on — pure gaussian blobs are too smooth to detect
+    reliably, which starves the frontend of matches (~20 matches/pair at
+    n_corners=0, the round-1 joint-training bottleneck)."""
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
     img = np.zeros((H, W))
     for _ in range(n_blobs):
@@ -29,6 +35,15 @@ def _render_texture(rng, H, W, n_blobs=60):
         s = rng.uniform(1.5, 6.0)
         a = rng.uniform(-1.0, 1.0)
         img += a * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    for _ in range(n_corners):
+        cx, cy = rng.uniform(0, W), rng.uniform(0, H)
+        w2, h2 = rng.uniform(2.0, 7.0), rng.uniform(2.0, 7.0)
+        th = rng.uniform(0, np.pi)
+        a = rng.uniform(0.4, 1.0) * rng.choice([-1.0, 1.0])
+        # Rotated-rectangle indicator via two axis projections.
+        u = (xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)
+        v = -(xx - cx) * np.sin(th) + (yy - cy) * np.cos(th)
+        img += a * ((np.abs(u) < w2) & (np.abs(v) < h2))
     img -= img.min()
     img /= img.max() + 1e-9
     return img
@@ -68,16 +83,28 @@ class SyntheticImagePairs:
         self,
         image_size: Tuple[int, int] = (120, 160),
         focal: float = 140.0,
-        depths: Tuple[float, float] = (6.0, 12.0),
+        depths: Tuple[float, ...] = (6.0, 12.0),
         max_angle_deg: float = 2.0,
         t_scale: float = 0.15,
+        depth_jitter: float = 0.0,
+        n_blobs: int = 60,
+        n_corners: int = 0,
         virtual_iters: int = 8,
         seed: int = 0,
     ):
+        """`depths` may hold any number of planes (vertical strips in image
+        1, near-to-far left-to-right). Translation observability scales with
+        focal * t_scale * (1/min(depths) - 1/max(depths)) — the inter-plane
+        parallax in pixels; keep it well above the ~0.5 px detector noise
+        for end-to-end training signal. `depth_jitter` multiplies each
+        plane's depth by U[1-j, 1+j] per item for scene diversity."""
         self.image_size = image_size
         self.depths = depths
         self.max_angle_deg = max_angle_deg
         self.t_scale = t_scale
+        self.depth_jitter = depth_jitter
+        self.n_blobs = n_blobs
+        self.n_corners = n_corners
         self.virtual_iters = virtual_iters
         self.rng = np.random.RandomState(seed)
         H, W = image_size
@@ -102,16 +129,20 @@ class SyntheticImagePairs:
 
         img1 = np.zeros((H, W))
         img2 = np.zeros((H, W))
-        # Region split in image 1: left half = near plane, right = far plane.
-        split = W // 2
+        # Region split in image 1: len(depths) vertical strips, near→far
+        # left→right (two planes reproduce the original half/half split).
+        nd = len(self.depths)
+        bounds = [W * k // nd for k in range(nd + 1)]
+        j = self.depth_jitter
         for idx, d in enumerate(self.depths):
-            tex = _render_texture(rng, H, W)
+            if j > 0:
+                d = d * rng.uniform(1.0 - j, 1.0 + j)
+            tex = _render_texture(
+                rng, H, W, n_blobs=self.n_blobs, n_corners=self.n_corners
+            )
             Hm = self.plane_homography(R, t, d)
             region1 = np.zeros((H, W))
-            if idx == 0:
-                region1[:, :split] = 1.0
-            else:
-                region1[:, split:] = 1.0
+            region1[:, bounds[idx] : bounds[idx + 1]] = 1.0
             img1 += tex * region1
             # image2(x2) = tex(H^-1 x2) within the warped region.
             Hinv = np.linalg.inv(Hm)

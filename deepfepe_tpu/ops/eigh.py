@@ -44,17 +44,37 @@ def _fix_eigvec_signs(V: jnp.ndarray) -> jnp.ndarray:
 
 import os
 
-# Forward implementation: 'xla' (QDWH eigh), 'jacobi' (vectorized cyclic
-# Jacobi, ops.jacobi), or 'pallas' (the TPU kernel, 9x9 only). Selected
-# per-call or globally via DEEPFEPE_EIGH_IMPL. Default is 'jacobi': on TPU
-# it benchmarks ~10x faster than XLA's eigh at the solver's batch shapes
-# (and beats the Pallas grid kernel at small batches because XLA fuses the
-# whole fixed-sweep schedule into one program).
-DEFAULT_EIGH_METHOD = os.environ.get("DEEPFEPE_EIGH_IMPL", "jacobi")
+# Forward implementation: 'auto', 'xla' (QDWH eigh), 'jacobi' (vectorized
+# cyclic Jacobi, ops.jacobi), or 'pallas' (the TPU kernel, 9x9 only).
+# Selected per-call or globally via DEEPFEPE_EIGH_IMPL. 'auto' picks:
+#   - 'pallas' on TPU for 9x9 at flattened batch >= PALLAS_MIN_BATCH
+#     (tools/bench_eigh_shapes.py on v5e: 5.5x faster than Jacobi at the
+#     sample-loss/RANSAC fan-out shapes 1600-4096, 2.8x at 16384);
+#   - 'jacobi' otherwise (~10x faster than XLA eigh at the solver's small
+#     batches, where XLA fuses the whole fixed-sweep schedule into one
+#     program and the Pallas grid launch doesn't pay off).
+DEFAULT_EIGH_METHOD = os.environ.get("DEEPFEPE_EIGH_IMPL", "auto")
+
+PALLAS_MIN_BATCH = 256
+
+
+def _resolve_method(A: jnp.ndarray, method: str) -> str:
+    if method != "auto":
+        return method
+    batch = 1
+    for s in A.shape[:-2]:
+        batch *= s
+    # jax.default_backend() is static at trace time; the axon tunnel
+    # platform is TPU hardware under an experimental name.
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if A.shape[-1] == 9 and on_tpu and batch >= PALLAS_MIN_BATCH:
+        return "pallas"
+    return "jacobi"
 
 
 def _eigh_forward(A: jnp.ndarray, method: str):
     A = (A + jnp.swapaxes(A, -1, -2)) * 0.5
+    method = _resolve_method(A, method)
     if method == "jacobi":
         from .jacobi import jacobi_eigh
 

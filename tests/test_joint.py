@@ -52,6 +52,32 @@ def test_synthetic_images_photometric_and_geometric_consistency(rng):
     assert ok >= 2
 
 
+def test_synthetic_images_multiplane_strong_geometry():
+    # N-plane generator: every plane's homography satisfies the gt epipolar
+    # geometry, and the near/far parallax (what makes translation
+    # observable) matches focal * |t| * (1/d_near - 1/d_far) to first order.
+    ds = SyntheticImagePairs(
+        image_size=(64, 96), depths=(3.0, 5.0, 9.0, 15.0),
+        t_scale=0.5, depth_jitter=0.15, seed=7,
+    )
+    item = ds._sample_item()
+    R = item["delta_Rtijs_4_4"][:3, :3].astype(np.float64)
+    t = item["delta_Rtijs_4_4"][:3, 3].astype(np.float64)
+    F = item["F_gts"].astype(np.float64)
+    x1 = np.array([[20.0, 30.0, 1.0], [70.0, 40.0, 1.0], [48.0, 10.0, 1.0]]).T
+    flows = []
+    for d in ds.depths:
+        Hm = ds.plane_homography(R, t, d)
+        x2 = Hm @ x1
+        x2 /= x2[2]
+        assert np.max(np.abs(np.sum(x2 * (F @ x1), axis=0))) < 1e-4
+        flows.append(np.linalg.norm((x2 - x1)[:2], axis=0).mean())
+    # Near plane moves much more than the far plane (observable parallax).
+    f = ds.K[0, 0]
+    expected = f * np.linalg.norm(t) * (1 / ds.depths[0] - 1 / ds.depths[-1])
+    assert flows[0] - flows[-1] > 0.3 * expected > 1.0
+
+
 def test_joint_train_step_runs_and_updates_both():
     cfg = Config()
     cfg.model.depth = 2

@@ -50,8 +50,10 @@ NPTS = 200        # default; override with --npts
 def evaluate(deepf_net, sp_net, fp, cfg, state, ds_eval, batches, key):
     from deepfepe_tpu.eval import val_rt_batch
 
+    from deepfepe_tpu.geometry import sym_epi_dist
+
     ev = make_joint_eval_step(deepf_net, sp_net, fp, cfg)
-    eq, et, eqb, etb, nmatch = [], [], [], [], []
+    eq, et, eqb, etb, nmatch, inl = [], [], [], [], [], []
     for _ in range(batches):
         b = {k: jnp.asarray(v) for k, v in ds_eval.batch(8).items()}
         m = ev(state.deepf_params, state.sp_params, b)
@@ -64,11 +66,21 @@ def evaluate(deepf_net, sp_net, fp, cfg, state, ds_eval, batches, key):
         et.append(np.asarray(rt["err_t_est"]))
         eqb.append(np.asarray(rt["err_q_base"]))
         etb.append(np.asarray(rt["err_t_base"]))
+        nmatch.append(float(np.asarray(m["num_matches"])))
+        # Match quality vs gt epipolar geometry (diagnoses the frontend
+        # separately from the solver): fraction of matches within 1 px.
+        d = np.asarray(sym_epi_dist(  # squared symmetric epi distance
+            b["F_gts"], m["matches_xy"][..., :2], m["matches_xy"][..., 2:],
+            if_homo=False,
+        ))
+        inl.append(float((d < 1.0).mean()))
     return {
         "median_err_q": round(float(np.median(np.concatenate(eq))), 4),
         "median_err_t": round(float(np.median(np.concatenate(et))), 4),
         "median_err_q_ransac": round(float(np.median(np.concatenate(eqb))), 4),
         "median_err_t_ransac": round(float(np.median(np.concatenate(etb))), 4),
+        "mean_num_matches": round(float(np.mean(nmatch)), 1),
+        "gt_epi_inlier_1px": round(float(np.mean(inl)), 4),
     }
 
 
@@ -87,6 +99,10 @@ def main():
     ap.add_argument("--image", type=int, nargs=2, default=list(IMG))
     ap.add_argument("--npts", type=int, default=NPTS)
     ap.add_argument("--t_scale", type=float, default=0.15)
+    ap.add_argument("--depths", type=float, nargs="+", default=[6.0, 12.0],
+                    help="plane depths; translation observability ~ "
+                         "focal*t_scale*(1/min-1/max) px of parallax")
+    ap.add_argument("--depth_jitter", type=float, default=0.0)
     ap.add_argument("--conf", type=float, default=0.010)
     ap.add_argument("--nn_thresh", type=float, default=0.9)
     ap.add_argument("--clamp_at", type=float, default=0.02,
@@ -113,9 +129,12 @@ def main():
 
     focal = 140.0 * IMG[1] / 160.0
     ds = SyntheticImagePairs(image_size=IMG, focal=focal,
-                             t_scale=args.t_scale, seed=0)
+                             t_scale=args.t_scale, depths=tuple(args.depths),
+                             depth_jitter=args.depth_jitter, seed=0)
     ds_eval = SyntheticImagePairs(image_size=IMG, focal=focal,
-                                  t_scale=args.t_scale, seed=777)
+                                  t_scale=args.t_scale,
+                                  depths=tuple(args.depths),
+                                  depth_jitter=args.depth_jitter, seed=777)
 
     sp_net = SuperPointNet()
     deepf_net = DeepFNet(
