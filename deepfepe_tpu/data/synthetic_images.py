@@ -28,22 +28,42 @@ def _render_texture(rng, H, W, n_blobs=60, n_corners=0):
     actually fires on — pure gaussian blobs are too smooth to detect
     reliably, which starves the frontend of matches (~20 matches/pair at
     n_corners=0, the round-1 joint-training bottleneck)."""
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
     img = np.zeros((H, W))
+
+    def window(cx, cy, r):
+        """Local pixel grid around (cx, cy); features are evaluated only on
+        their support window instead of the full image (~60x fewer flops —
+        full-image rendering was 3.8 s/batch at 240x320, data-starving the
+        joint train step)."""
+        x0, x1 = max(0, int(cx - r)), min(W, int(cx + r) + 1)
+        y0, y1 = max(0, int(cy - r)), min(H, int(cy + r) + 1)
+        if x0 >= x1 or y0 >= y1:
+            return None
+        yy, xx = np.mgrid[y0:y1, x0:x1].astype(np.float64)
+        return (slice(y0, y1), slice(x0, x1)), yy, xx
+
     for _ in range(n_blobs):
         cx, cy = rng.uniform(0, W), rng.uniform(0, H)
         s = rng.uniform(1.5, 6.0)
         a = rng.uniform(-1.0, 1.0)
-        img += a * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+        win = window(cx, cy, 3.5 * s)  # exp(-6.1) ~ 0.2% of peak beyond
+        if win is None:
+            continue
+        sl, yy, xx = win
+        img[sl] += a * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
     for _ in range(n_corners):
         cx, cy = rng.uniform(0, W), rng.uniform(0, H)
         w2, h2 = rng.uniform(2.0, 7.0), rng.uniform(2.0, 7.0)
         th = rng.uniform(0, np.pi)
         a = rng.uniform(0.4, 1.0) * rng.choice([-1.0, 1.0])
+        win = window(cx, cy, float(np.hypot(w2, h2)) + 1.0)
+        if win is None:
+            continue
+        sl, yy, xx = win
         # Rotated-rectangle indicator via two axis projections.
         u = (xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)
         v = -(xx - cx) * np.sin(th) + (yy - cy) * np.cos(th)
-        img += a * ((np.abs(u) < w2) & (np.abs(v) < h2))
+        img[sl] += a * ((np.abs(u) < w2) & (np.abs(v) < h2))
     img -= img.min()
     img /= img.max() + 1e-9
     return img

@@ -103,6 +103,10 @@ def main():
                     help="plane depths; translation observability ~ "
                          "focal*t_scale*(1/min-1/max) px of parallax")
     ap.add_argument("--depth_jitter", type=float, default=0.0)
+    ap.add_argument("--n_blobs", type=int, default=60)
+    ap.add_argument("--n_corners", type=int, default=0,
+                    help="hard-edged corner stamps per plane texture; "
+                         "pure blobs starve the detector (~20 matches/pair)")
     ap.add_argument("--conf", type=float, default=0.010)
     ap.add_argument("--nn_thresh", type=float, default=0.9)
     ap.add_argument("--clamp_at", type=float, default=0.02,
@@ -128,13 +132,11 @@ def main():
     cfg.data.batch_size = args.batch
 
     focal = 140.0 * IMG[1] / 160.0
-    ds = SyntheticImagePairs(image_size=IMG, focal=focal,
-                             t_scale=args.t_scale, depths=tuple(args.depths),
-                             depth_jitter=args.depth_jitter, seed=0)
-    ds_eval = SyntheticImagePairs(image_size=IMG, focal=focal,
-                                  t_scale=args.t_scale,
-                                  depths=tuple(args.depths),
-                                  depth_jitter=args.depth_jitter, seed=777)
+    mk = dict(image_size=IMG, focal=focal, t_scale=args.t_scale,
+              depths=tuple(args.depths), depth_jitter=args.depth_jitter,
+              n_blobs=args.n_blobs, n_corners=args.n_corners)
+    ds = SyntheticImagePairs(**mk, seed=0)
+    ds_eval = SyntheticImagePairs(**mk, seed=777)
 
     sp_net = SuperPointNet()
     deepf_net = DeepFNet(
@@ -186,14 +188,37 @@ def main():
             deepf_net, sp_net, fp, tx_deepf, tx_sp, cfg,
             train_deepf=True, train_sp=train_sp,
         )
+        # Host-side threaded prefetch: rendering is numpy (releases the
+        # GIL), so 3 workers overlap data gen with the device step.
+        import queue as _queue
+        import threading as _threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=6)
+        stop = _threading.Event()
+
+        def _worker(wseed):
+            wds = SyntheticImagePairs(**mk, seed=wseed)
+            while not stop.is_set():
+                try:
+                    q.put(wds.batch(args.batch), timeout=1.0)
+                except _queue.Full:
+                    continue
+
+        workers = [
+            _threading.Thread(target=_worker, args=(1000 + w,), daemon=True)
+            for w in range(3)
+        ]
+        for w in workers:
+            w.start()
         t0 = time.time()
         for it in range(iters):
-            b = {k: jnp.asarray(v) for k, v in ds.batch(args.batch).items()}
+            b = {k: jnp.asarray(v) for k, v in q.get().items()}
             state, m = step(state, b, 0.1, 0.5)
             if it % 100 == 0 or it == iters - 1:
                 log({"stage": stage, "iter": it,
                      "loss": round(float(np.asarray(m["loss"])), 6),
                      "elapsed_s": round(time.time() - t0, 1)})
+        stop.set()
         save(stage)
         key, sub = jax.random.split(key)
         log({"stage": f"eval_after_{stage}",
