@@ -218,6 +218,7 @@ class SyntheticImageSequence:
         step_length: float = 0.12,
         max_angle_deg: float = 0.6,
         n_blobs: int = 240,
+        n_corners: int = 0,
         seed: int = 0,
     ):
         self.n_frames = n_frames
@@ -233,7 +234,8 @@ class SyntheticImageSequence:
         split = W // 2
         self.layers = []  # (texture*region, depth) in frame-0 camera coords
         for idx, d in enumerate(depths):
-            tex = _render_texture(rng, H, W, n_blobs=n_blobs)
+            tex = _render_texture(rng, H, W, n_blobs=n_blobs,
+                                  n_corners=n_corners)
             region = np.zeros((H, W))
             if idx == 0:
                 region[:, :split] = 1.0

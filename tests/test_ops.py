@@ -281,3 +281,28 @@ def test_sample_loss_fits_grad_finite_one_hot_weights():
     v, g = jax.value_and_grad(f)(logits)
     assert np.isfinite(float(v))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_eigh_auto_method_resolution(rng, monkeypatch):
+    # 'auto' picks the Pallas 9x9 kernel only on TPU at large flattened
+    # batch (bench_eigh_shapes.log: 5.5x over jacobi at fan-out shapes);
+    # jacobi everywhere else, including CPU test runs like this one.
+    from deepfepe_tpu.ops import eigh as eigh_mod
+
+    A9 = jnp.zeros((512, 9, 9))
+    assert eigh_mod._resolve_method(A9, "auto") == "jacobi"  # CPU backend
+    assert eigh_mod._resolve_method(A9, "xla") == "xla"  # explicit wins
+
+    monkeypatch.setattr(
+        eigh_mod.jax, "default_backend", lambda: "tpu", raising=True
+    )
+    assert eigh_mod._resolve_method(A9, "auto") == "pallas"
+    assert eigh_mod._resolve_method(jnp.zeros((8, 9, 9)), "auto") == "jacobi"
+    assert eigh_mod._resolve_method(jnp.zeros((512, 3, 3)), "auto") == "jacobi"
+    # safe_eigh under the default method stays correct on CPU.
+    A = jnp.asarray(rng.randn(4, 9, 9).astype(np.float32))
+    A = (A + jnp.swapaxes(A, -1, -2)) / 2
+    w, V = ops.safe_eigh(A)
+    np.testing.assert_allclose(
+        np.asarray(A @ V), np.asarray(V * w[..., None, :]), atol=1e-4
+    )

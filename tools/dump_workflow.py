@@ -72,7 +72,8 @@ training:
 """
 
 
-def render_and_dump(out_root, scene, n_frames, seed, image_size):
+def render_and_dump(out_root, scene, n_frames, seed, image_size,
+                    n_corners=0):
     import cv2
     import numpy as np
 
@@ -80,7 +81,8 @@ def render_and_dump(out_root, scene, n_frames, seed, image_size):
     from deepfepe_tpu.data.synthetic_images import SyntheticImageSequence
 
     seq = SyntheticImageSequence(
-        n_frames=n_frames, image_size=image_size, seed=seed
+        n_frames=n_frames, image_size=image_size, seed=seed,
+        n_corners=n_corners,
     )
     img_dir = os.path.join(out_root, scene)
     os.makedirs(img_dir, exist_ok=True)
@@ -112,6 +114,9 @@ def main():
                          "(the reference's staged recipe)")
     ap.add_argument("--good_num", type=int, default=300)
     ap.add_argument("--image", type=int, nargs=2, default=(240, 320))
+    ap.add_argument("--n_corners", type=int, default=0,
+                    help="hard-edged corner stamps per plane texture "
+                         "(sharper SIFT keypoints than pure blobs)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip_render", action="store_true")
     args = ap.parse_args()
@@ -131,9 +136,9 @@ def main():
         per_scene = max(args.train_frames // 3, 4)
         for scene, seed in (("00", 0), ("01", 1), ("02", 2)):
             render_and_dump(root, scene, per_scene, seed=seed,
-                            image_size=(H, W))
+                            image_size=(H, W), n_corners=args.n_corners)
         render_and_dump(root, "09", args.test_frames, seed=7,
-                        image_size=(H, W))
+                        image_size=(H, W), n_corners=args.n_corners)
         print(f"rendered+dumped in {time.time() - t0:.1f}s", flush=True)
 
     cfg_path = os.path.join(out, "config.yaml")
