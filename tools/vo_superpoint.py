@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--npts", type=int, default=NPTS)
     ap.add_argument("--step_scale", type=float, default=1.0,
                     help="multiplier on the auto-chosen step_length")
+    ap.add_argument("--n_corners", type=int, default=0,
+                    help="corner stamps per plane texture (match density)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     IMG = tuple(args.image)
@@ -75,6 +77,7 @@ def main():
         n_frames=args.n_frames, image_size=IMG,
         focal=140.0 * IMG[1] / 160.0,
         step_length=args.step_scale * min(0.12, 0.6 * 12.0 / args.n_frames),
+        n_corners=args.n_corners,
         seed=args.seed,
     )
 
