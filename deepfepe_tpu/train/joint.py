@@ -90,6 +90,12 @@ def make_joint_train_step(
         (loss, metrics), (g_deepf, g_sp) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.deepf_params, state.sp_params)
+        # Gradient-noise telemetry: the weighted-8-point VJP is heavy-tailed
+        # on outlier-dense matches (near-degenerate Gram spectra), which is
+        # what the reference's skip-optimizer guards against
+        # (Train_model_pipeline.py:598-639).
+        metrics["g_deepf_norm"] = optax.global_norm(g_deepf)
+        metrics["g_sp_norm"] = optax.global_norm(g_sp)
 
         deepf_params, deepf_opt = state.deepf_params, state.deepf_opt
         if train_deepf:

@@ -95,6 +95,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr_deepf", type=float, default=1e-4)
     ap.add_argument("--lr_sp", type=float, default=1e-6)
+    ap.add_argument("--grad_clip", type=float, default=1.0,
+                    help="global-norm gradient clip (0 disables); the "
+                         "8-point VJP is heavy-tailed on outlier-dense SP "
+                         "matches and un-clipped Adam random-walks uphill")
     ap.add_argument("--eval_batches", type=int, default=6)
     ap.add_argument("--image", type=int, nargs=2, default=list(IMG))
     ap.add_argument("--npts", type=int, default=NPTS)
@@ -161,8 +165,15 @@ def main():
         with open(args.deepf, "rb") as f:
             deepf_params = serialization.from_bytes(deepf_params, f.read())
 
-    tx_deepf = optax.adam(args.lr_deepf)
-    tx_sp = optax.adam(args.lr_sp)
+    def make_tx(lr):
+        if args.grad_clip > 0:
+            return optax.chain(
+                optax.clip_by_global_norm(args.grad_clip), optax.adam(lr)
+            )
+        return optax.adam(lr)
+
+    tx_deepf = make_tx(args.lr_deepf)
+    tx_sp = make_tx(args.lr_sp)
     state = JointTrainState.create(deepf_params, sp_params, tx_deepf, tx_sp)
 
     def save(tag):
@@ -217,6 +228,8 @@ def main():
             if it % 100 == 0 or it == iters - 1:
                 log({"stage": stage, "iter": it,
                      "loss": round(float(np.asarray(m["loss"])), 6),
+                     "g_deepf": round(float(np.asarray(m["g_deepf_norm"])), 3),
+                     "g_sp": round(float(np.asarray(m["g_sp_norm"])), 3),
                      "elapsed_s": round(time.time() - t0, 1)})
         stop.set()
         save(stage)
