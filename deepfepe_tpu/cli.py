@@ -109,6 +109,7 @@ def cmd_eval(args):
             sharded["E_gts"],
             sharded["delta_Rtijs_4_4"],
             ransac_key=sub,
+            five_point=cfg.exps.five_point,
         )
         results["err_q"].append(np.asarray(rt["err_q_est"]))
         results["err_t"].append(np.asarray(rt["err_t_est"]))
@@ -205,6 +206,7 @@ def cmd_eval_vo(args):
             E_est, b["Ks"], b["matches_xy_ori"], b["E_gts"],
             b["delta_Rtijs_4_4"],
             ransac_key=sub if use_baseline else None,
+            five_point=cfg.exps.five_point,
         )
         M = np.asarray(rt["M_base" if use_baseline else "M_est"])
         eq = np.asarray(rt["err_q_base" if use_baseline else "err_q_est"])

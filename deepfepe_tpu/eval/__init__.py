@@ -10,7 +10,13 @@ from .kitti_odometry import (
     umeyama_alignment,
 )
 from .opencv_baseline import recover_camera_opencv
-from .ransac import RansacResult, ransac_f, ransac_f_batch
+from .ransac import (
+    RansacResult,
+    ransac_e,
+    ransac_e_batch,
+    ransac_f,
+    ransac_f_batch,
+)
 from .val_pipeline import ValPipelineFrontend, load_params_msgpack
 from .val_rt import inlier_ratios, val_rt_batch
 from .vo import (

@@ -93,3 +93,64 @@ def ransac_f_batch(
     """Batched over the leading axis: x1, x2 [B, N, 2]."""
     keys = jax.random.split(key, x1.shape[0])
     return jax.vmap(lambda a, b, k: ransac_f(a, b, k, **kw))(x1, x2, keys)
+
+
+def ransac_e(
+    x1n: jnp.ndarray,
+    x2n: jnp.ndarray,
+    key: jax.Array,
+    num_hypotheses: int = 64,
+    threshold: float = 1e-3,
+    refit: bool = True,
+) -> RansacResult:
+    """Nister 5-point RANSAC for E on one pair (the reference's headline
+    cv2.findEssentialMat baseline, utils_opencv.py:129 — here first-party
+    and on-device: geometry/fivepoint.py). x1n, x2n: [N, 2] K-NORMALIZED
+    coords; `threshold` is a squared Sampson distance in those units
+    (1e-3 ≈ cv2's default 1 px at f≈1000... i.e. scale it by (1/f)²).
+
+    Each of the `num_hypotheses` minimal samples yields up to 10 real-root
+    candidates; all H*10 are scored as one batch.
+    """
+    from ..geometry.epipolar import sampson_dist
+    from ..geometry.fivepoint import five_point_candidates
+    from ..ops.svd3 import project_E_110
+
+    n = x1n.shape[0]
+    idxs = jax.random.randint(key, (num_hypotheses, 5), 0, n)
+    cands = jax.vmap(
+        lambda i: five_point_candidates(x1n[i], x2n[i])
+    )(idxs)
+    Es = cands.E.reshape(num_hypotheses * 10, 3, 3)
+    ok = cands.valid.reshape(num_hypotheses * 10)
+
+    d = sampson_dist(Es[:, None], x1n[None], x2n[None], if_homo=False)
+    d = d.reshape(num_hypotheses * 10, n)
+    inliers = (d < threshold) & ok[:, None]
+    scores = jnp.sum(inliers, axis=-1)
+    best = jnp.argmax(scores)
+    mask = inliers[best]
+
+    if refit:
+        pts1_h, pts2_h = homo(x1n), homo(x2n)
+        w = mask.astype(x1n.dtype)
+        w = w / (jnp.sum(w) + 1e-9)
+        fit = weighted_eight_point(
+            pts1_h[None], pts2_h[None], w[None], normalize_svd=False
+        )
+        E_best = project_E_110(fit.F[0])
+        d_e = sampson_dist(E_best, x1n, x2n, if_homo=False)
+        mask = d_e < threshold
+    else:
+        E_best = Es[best]
+    return RansacResult(
+        F=E_best, inlier_mask=mask, num_inliers=jnp.sum(mask)
+    )
+
+
+def ransac_e_batch(
+    x1n: jnp.ndarray, x2n: jnp.ndarray, key: jax.Array, **kw
+) -> RansacResult:
+    """Batched over the leading axis: x1n, x2n [B, N, 2] (K-normalized)."""
+    keys = jax.random.split(key, x1n.shape[0])
+    return jax.vmap(lambda a, b, k: ransac_e(a, b, k, **kw))(x1n, x2n, keys)

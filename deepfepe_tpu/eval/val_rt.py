@@ -24,7 +24,7 @@ from ..geometry.basic import homo, rt_inverse
 from ..geometry.decompose import recover_pose
 from ..geometry.epipolar import E_to_F, F_to_E, epi_distance
 from ..geometry.rotations import rotation_angle_error, vector_angle
-from .ransac import ransac_f_batch
+from .ransac import ransac_e_batch, ransac_f_batch
 
 
 def _pose_errors(R_est, t_est, delta_Rtij_inv):
@@ -51,7 +51,11 @@ def val_rt_batch(
     ransac_key: jax.Array | None = None,
     ransac_hypotheses: int = 512,
     ransac_threshold_px: float = 1.0,
+    five_point: bool = False,
 ) -> Dict[str, jnp.ndarray]:
+    """`five_point=True` switches the baseline to the native Nister 5-point
+    RANSAC on K-normalized coords (the reference's exps.five_point flag,
+    cv2.findEssentialMat path in val_rt, train_good_utils.py:614-622)."""
     x1 = matches[..., :2]
     x2 = matches[..., 2:4]
     K_inv = jnp.linalg.inv(Ks)
@@ -72,15 +76,28 @@ def val_rt_batch(
         out[f"epi_dists_{name}"] = epi
 
     if ransac_key is not None:
-        rr = ransac_f_batch(
-            x1, x2, ransac_key,
-            num_hypotheses=ransac_hypotheses,
-            threshold=ransac_threshold_px,
-        )
-        E_base = F_to_E(rr.F, Ks)
+        if five_point:
+            # Sampson threshold in normalized units: px / focal, squared.
+            f_mean = 0.5 * (Ks[:, 0, 0] + Ks[:, 1, 1])
+            thr = jnp.mean((ransac_threshold_px / f_mean) ** 2)
+            rr = ransac_e_batch(
+                x1n[..., :2], x2n[..., :2], ransac_key,
+                num_hypotheses=max(ransac_hypotheses // 8, 16),
+                threshold=thr,
+            )
+            E_base = rr.F
+            F_base = E_to_F(E_base, Ks)
+        else:
+            rr = ransac_f_batch(
+                x1, x2, ransac_key,
+                num_hypotheses=ransac_hypotheses,
+                threshold=ransac_threshold_px,
+            )
+            F_base = rr.F
+            E_base = F_to_E(rr.F, Ks)
         rec = recover_pose(E_base, x1n, x2n)
         err_q, err_t, M_cam, M = _pose_errors(rec.R, rec.t, delta_inv)
-        epi, _, _ = epi_distance(rr.F, x1, x2, if_homo=False)
+        epi, _, _ = epi_distance(F_base, x1, x2, if_homo=False)
         out.update(
             {
                 "err_q_base": err_q,
