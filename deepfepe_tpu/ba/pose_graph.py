@@ -27,7 +27,11 @@ class PoseGraph(NamedTuple):
     poses: jnp.ndarray     # [N, 4, 4] current world->frame estimates
     edges: jnp.ndarray     # [E, 2] int (i, j)
     measurements: jnp.ndarray  # [E, 4, 4] measured T_ij
-    weights: jnp.ndarray   # [E] scalar information weights
+    weights: jnp.ndarray   # [E] scalar or [E, 6] per-component (v, w)
+    #                        information weights — per-component lets
+    #                        translation-reliable / rotation-noisy edges
+    #                        (e.g. wide-baseline skip edges) contribute
+    #                        only the part they measure well
 
 
 def edge_residuals(
@@ -52,10 +56,14 @@ def gauss_newton_step(
     """One (Levenberg-damped) Gauss-Newton step. Returns (graph, mean |r|²)."""
     N = graph.poses.shape[0]
 
+    w = graph.weights
+    w = w[:, None] if w.ndim == 1 else w  # [E, 1] or [E, 6]
+    sqrt_w = jnp.sqrt(w)
+
     def residual_of_delta(delta):
         poses = _apply_delta(graph.poses, delta.reshape(N, 6))
         r = edge_residuals(poses, graph.edges, graph.measurements)
-        return (r * jnp.sqrt(graph.weights)[:, None]).ravel()
+        return (r * sqrt_w).ravel()
 
     delta0 = jnp.zeros(N * 6, graph.poses.dtype)
     r0 = residual_of_delta(delta0)
@@ -92,11 +100,13 @@ def graph_from_odometry(
     rel_poses: jnp.ndarray,
     loop_edges: jnp.ndarray | None = None,
     loop_measurements: jnp.ndarray | None = None,
-    odo_weight: float = 1.0,
-    loop_weight: float = 1.0,
+    odo_weight=1.0,
+    loop_weight=1.0,
 ) -> PoseGraph:
     """Build a graph from sequential relative poses (+ optional loop
     closures). rel_poses: [N-1, 4, 4] frame i -> i+1; initial poses chained.
+    `odo_weight` / `loop_weight` may be scalars or 6-vectors (v, w) for
+    per-component information (see PoseGraph.weights).
     """
     n = rel_poses.shape[0] + 1
     poses = [jnp.eye(4, dtype=rel_poses.dtype)]
@@ -104,15 +114,25 @@ def graph_from_odometry(
         poses.append(rel_poses[k] @ poses[-1])
     poses = jnp.stack(poses)
 
+    def _tile_w(w, count):
+        w = jnp.asarray(w, rel_poses.dtype)
+        if w.ndim == 0:
+            return jnp.full((count,), w, rel_poses.dtype)
+        return jnp.tile(w[None, :], (count, 1))
+
     edges = jnp.stack(
         [jnp.arange(n - 1), jnp.arange(1, n)], axis=-1
     ).astype(jnp.int32)
     meas = rel_poses
-    weights = jnp.full((n - 1,), odo_weight, rel_poses.dtype)
+    weights = _tile_w(odo_weight, n - 1)
     if loop_edges is not None:
         edges = jnp.concatenate([edges, loop_edges.astype(jnp.int32)])
         meas = jnp.concatenate([meas, loop_measurements])
-        weights = jnp.concatenate(
-            [weights, jnp.full((len(loop_edges),), loop_weight, rel_poses.dtype)]
-        )
+        lw = _tile_w(loop_weight, len(loop_edges))
+        if weights.ndim != lw.ndim:  # mixed scalar / per-component
+            if weights.ndim == 1:
+                weights = weights[:, None] * jnp.ones((1, 6), rel_poses.dtype)
+            if lw.ndim == 1:
+                lw = lw[:, None] * jnp.ones((1, 6), rel_poses.dtype)
+        weights = jnp.concatenate([weights, lw])
     return PoseGraph(poses=poses, edges=edges, measurements=meas, weights=weights)

@@ -296,10 +296,12 @@ class SyntheticImageSequence:
         out[:, :3] = self.cam2world_poses()
         return out
 
-    def _pair_item(self, i: int) -> Dict[str, np.ndarray]:
-        """Consecutive-pair sample (frames i, i+1) with images + exact gt,
-        for the full SP-frontend pipeline (no precomputed matches)."""
-        Tij = self.T_0k_list[i + 1] @ np.linalg.inv(self.T_0k_list[i])
+    def _pair_item(self, i: int, delta: int = 1) -> Dict[str, np.ndarray]:
+        """Pair sample (frames i, i+delta) with images + exact gt, for the
+        full SP-frontend pipeline (no precomputed matches). `delta` is the
+        reference's delta_ij frame gap (kitti_odo_corr.py dumps exist for
+        1/2/3/5/8/10, SURVEY.md §5.7)."""
+        Tij = self.T_0k_list[i + delta] @ np.linalg.inv(self.T_0k_list[i])
         R, t = Tij[:3, :3], Tij[:3, 3]
         tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
         E = tx @ R
@@ -308,7 +310,7 @@ class SyntheticImageSequence:
         T_inv = np.linalg.inv(Tij)
         return {
             "imgs_grey": np.stack(
-                [self.frame(i), self.frame(i + 1)]
+                [self.frame(i), self.frame(i + delta)]
             ).astype(np.float32),
             "Ks": K.astype(np.float32),
             "K_invs": np.linalg.inv(K).astype(np.float32),
@@ -321,11 +323,13 @@ class SyntheticImageSequence:
             "frame_i": np.int32(i),
         }
 
-    def pair_batches(self, batch_size: int):
-        """Frame-ordered consecutive-pair batches over the whole sequence
+    def pair_batches(self, batch_size: int, delta: int = 1):
+        """Frame-ordered (i, i+delta) pair batches over the whole sequence
         (last partial batch padded by repeating the final pair; items carry
         'frame_i' for de-duplication, as the dump loader does)."""
-        items = [self._pair_item(i) for i in range(self.n_frames - 1)]
+        items = [
+            self._pair_item(i, delta) for i in range(self.n_frames - delta)
+        ]
         for s in range(0, len(items), batch_size):
             chunk = items[s : s + batch_size]
             while len(chunk) < batch_size:

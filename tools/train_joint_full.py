@@ -117,6 +117,14 @@ def main():
                     help="F-loss residual clamp; the reference's 0.02 "
                          "saturates on noisy SP matches — a looser clamp "
                          "gives the early iterations gradient signal")
+    ap.add_argument("--qt", action="store_true",
+                    help="train with the pose (q,t) loss instead of the "
+                         "F-loss (the reference's stage-2 recipe) — "
+                         "optimizes the eval metric directly, which the "
+                         "clamped F-loss only tracks loosely on noisy SP "
+                         "matches (see ROADMAP joint-fine-tune study)")
+    ap.add_argument("--balance_q", type=float, default=1.0)
+    ap.add_argument("--balance_t", type=float, default=1.0)
     args = ap.parse_args()
     IMG = tuple(args.image)
     NPTS = args.npts
@@ -134,6 +142,10 @@ def main():
     cfg.model.clamp_at = args.clamp_at
     cfg.data.good_num = NPTS
     cfg.data.batch_size = args.batch
+    if args.qt:
+        cfg.model.if_qt_loss = True
+        cfg.model.balance_q = args.balance_q
+        cfg.model.balance_t = args.balance_t
 
     focal = 140.0 * IMG[1] / 160.0
     mk = dict(image_size=IMG, focal=focal, t_scale=args.t_scale,
