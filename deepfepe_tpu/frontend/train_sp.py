@@ -95,6 +95,62 @@ class SyntheticShapes:
         return [self.sample() for _ in range(n)]
 
 
+class CornerTextures(SyntheticShapes):
+    """Exactly-labeled samples in the joint-training texture style: gaussian
+    blobs (background structure, unlabeled) + hard-edged rotated rectangle
+    stamps whose 4 corners are the keypoint labels — the texture family of
+    `data/synthetic_images._render_texture(n_corners=...)`. Fine-tuning the
+    pretrained (polygon-shapes) detector here sharpens localization on the
+    joint SP+DeepF data domain."""
+
+    def __init__(self, image_size=(120, 160), n_blobs=40, n_rects=14,
+                 seed: int = 0):
+        super().__init__(image_size=image_size, seed=seed)
+        self.n_blobs = n_blobs
+        self.n_rects = n_rects
+
+    def sample(self):
+        rng = self.rng
+        H, W = self.H, self.W
+        img = np.zeros((H, W))
+        yy0, xx0 = np.mgrid[0:H, 0:W].astype(np.float64)
+        for _ in range(self.n_blobs):
+            cx, cy = rng.uniform(0, W), rng.uniform(0, H)
+            s = rng.uniform(1.5, 6.0)
+            a = rng.uniform(-1.0, 1.0)
+            r = int(np.ceil(3.5 * s))
+            x0, x1 = max(0, int(cx - r)), min(W, int(cx + r) + 1)
+            y0, y1 = max(0, int(cy - r)), min(H, int(cy + r) + 1)
+            if x0 >= x1 or y0 >= y1:
+                continue
+            yy, xx = yy0[y0:y1, x0:x1], xx0[y0:y1, x0:x1]
+            img[y0:y1, x0:x1] += a * np.exp(
+                -((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)
+            )
+        corners = []
+        for _ in range(self.n_rects):
+            cx, cy = rng.uniform(6, W - 6), rng.uniform(6, H - 6)
+            w2, h2 = rng.uniform(2.0, 7.0), rng.uniform(2.0, 7.0)
+            th = rng.uniform(0, np.pi)
+            a = rng.uniform(0.4, 1.0) * rng.choice([-1.0, 1.0])
+            ct, st = np.cos(th), np.sin(th)
+            u = (xx0 - cx) * ct + (yy0 - cy) * st
+            v = -(xx0 - cx) * st + (yy0 - cy) * ct
+            img += a * ((np.abs(u) < w2) & (np.abs(v) < h2))
+            for su, sv in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+                # Rect corner in image coords: c + Rᵀ(θ)·(±w2, ±h2) for the
+                # (u, v) frame defined above.
+                px = cx + su * w2 * ct - sv * h2 * st
+                py = cy + su * w2 * st + sv * h2 * ct
+                if 0 <= px < W and 0 <= py < H:
+                    corners.append((px, py))
+        img -= img.min()
+        img /= img.max() + 1e-9
+        return img.astype(np.float32), np.asarray(
+            corners if corners else np.zeros((0, 2)), np.float64
+        )
+
+
 def sample_homography(
     rng: np.random.RandomState,
     image_size: Tuple[int, int],

@@ -149,3 +149,29 @@ def test_dump_and_reload_roundtrip(tmp_path, rng):
     )
     frac = float(jnp.mean((d < 3.0).astype(jnp.float32)))
     assert frac > 0.6, frac
+
+
+def test_image_sequence_delta_pairs():
+    # pair_batches(delta=2): gt relative pose composes the two delta-1
+    # steps, and the rendered frames satisfy the pair's epipolar geometry.
+    from deepfepe_tpu.data.synthetic_images import SyntheticImageSequence
+
+    seq = SyntheticImageSequence(n_frames=8, seed=4, n_corners=20)
+    b1 = next(seq.pair_batches(3, delta=1))
+    b2 = next(seq.pair_batches(3, delta=2))
+    T01 = b1["delta_Rtijs_4_4"][0]
+    T12 = b1["delta_Rtijs_4_4"][1]
+    T02 = b2["delta_Rtijs_4_4"][0]
+    np.testing.assert_allclose(T12 @ T01, T02, atol=1e-5)
+    # Frame i+delta of the pair equals the sequence's frame(i+delta).
+    np.testing.assert_allclose(
+        b2["imgs_grey"][0, 1], seq.frame(2), atol=1e-6
+    )
+    # E consistency: E from composed pose matches the emitted E up to scale.
+    R, t = np.asarray(T02[:3, :3], np.float64), np.asarray(T02[:3, 3], np.float64)
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E = tx @ R
+    E_emit = np.asarray(b2["E_gts"][0], np.float64)
+    E /= np.linalg.norm(E)
+    E_emit /= np.linalg.norm(E_emit)
+    assert min(np.linalg.norm(E - E_emit), np.linalg.norm(E + E_emit)) < 1e-5
