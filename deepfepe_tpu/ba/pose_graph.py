@@ -51,13 +51,29 @@ def _apply_delta(poses: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
 
 
 def gauss_newton_step(
-    graph: PoseGraph, damping: float = 1e-6, fix_first: bool = True
+    graph: PoseGraph,
+    damping: float = 1e-6,
+    fix_first: bool = True,
+    huber_delta: float | None = None,
 ) -> Tuple[PoseGraph, jnp.ndarray]:
-    """One (Levenberg-damped) Gauss-Newton step. Returns (graph, mean |r|²)."""
+    """One (Levenberg-damped) Gauss-Newton step. Returns (graph, mean |r|²).
+
+    `huber_delta` enables an IRLS Huber kernel on the per-edge residual
+    norm: edges with ||r|| > delta get down-weighted by delta/||r||, so a
+    few catastrophic measurements (e.g. failed wide-baseline skip edges)
+    cannot corrupt the whole trajectory — without it GN is quadratic and
+    outlier edges dominate.
+    """
     N = graph.poses.shape[0]
 
     w = graph.weights
     w = w[:, None] if w.ndim == 1 else w  # [E, 1] or [E, 6]
+    if huber_delta is not None:
+        r_now = edge_residuals(
+            graph.poses, graph.edges, graph.measurements
+        )
+        rnorm = jnp.linalg.norm(r_now, axis=-1)
+        w = w * jnp.minimum(1.0, huber_delta / (rnorm + 1e-12))[:, None]
     sqrt_w = jnp.sqrt(w)
 
     def residual_of_delta(delta):
@@ -86,12 +102,15 @@ def gauss_newton_step(
 
 
 def optimize_pose_graph(
-    graph: PoseGraph, iters: int = 10, damping: float = 1e-6
+    graph: PoseGraph,
+    iters: int = 10,
+    damping: float = 1e-6,
+    huber_delta: float | None = None,
 ) -> Tuple[PoseGraph, jnp.ndarray]:
     """Run `iters` GN steps; returns (graph, per-iter mean residual²)."""
     errs = []
     for _ in range(iters):
-        graph, e = gauss_newton_step(graph, damping)
+        graph, e = gauss_newton_step(graph, damping, huber_delta=huber_delta)
         errs.append(e)
     return graph, jnp.stack(errs)
 

@@ -55,6 +55,10 @@ def main():
                          "translation misfit (measured: rot drift 100 vs "
                          "69 deg/100m at 0.1 vs 1.0, vo_pose_graph{2,3})")
     ap.add_argument("--gn_iters", type=int, default=15)
+    ap.add_argument("--huber", type=float, default=0.05,
+                    help="Huber delta on the se(3) edge-residual norm "
+                         "(0 disables); robustifies against failed "
+                         "wide-baseline skip edges")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -164,7 +168,10 @@ def main():
         odo_weight=1.0,
         loop_weight=jnp.asarray([sw, sw, sw, srw, srw, srw]),
     )
-    graph_opt, errs = optimize_pose_graph(graph, iters=args.gn_iters)
+    graph_opt, errs = optimize_pose_graph(
+        graph, iters=args.gn_iters,
+        huber_delta=args.huber if args.huber > 0 else None,
+    )
 
     gt_traj = seq.gt_trajectory()
     total = float(np.linalg.norm(np.diff(gt_traj[:, :3, 3], axis=0),
