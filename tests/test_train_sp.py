@@ -185,3 +185,31 @@ def test_homographic_adaptation_identity_matches_plain_forward():
     lab = heatmap_to_cells(np.asarray(agg[0]), conf_thresh=1e-6)
     assert lab.shape == (8, 12)
     assert lab.min() >= 0 and lab.max() <= 64
+
+
+def test_corner_textures_labels_match_rendered_corners():
+    # Every labeled corner of CornerTextures sits on a local intensity
+    # discontinuity: the 3x3 patch around it must have materially higher
+    # variance than the image median patch variance (labels aligned with
+    # the rendered rectangle corners, not offset by the rotation math).
+    from deepfepe_tpu.frontend.train_sp import CornerTextures
+
+    ds = CornerTextures(image_size=(96, 128), seed=3)
+    img, corners = ds.sample()
+    assert len(corners) >= 20
+    H, W = img.shape
+    import numpy as np
+
+    def patch_var(x, y):
+        xi, yi = int(round(x)), int(round(y))
+        if not (2 <= xi < W - 2 and 2 <= yi < H - 2):
+            return None
+        return float(img[yi - 2 : yi + 3, xi - 2 : xi + 3].var())
+
+    vars_at_corners = [v for v in (patch_var(x, y) for x, y in corners)
+                       if v is not None]
+    rng = np.random.RandomState(0)
+    vars_random = [v for v in (patch_var(rng.uniform(2, W - 3),
+                                         rng.uniform(2, H - 3))
+                               for _ in range(300)) if v is not None]
+    assert np.median(vars_at_corners) > 3.0 * np.median(vars_random)
