@@ -91,7 +91,12 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--eval_corners", type=int, default=60)
+    ap.add_argument("--image", type=int, nargs=2, default=[120, 160])
+    ap.add_argument("--n_blobs", type=int, default=40)
+    ap.add_argument("--n_rects", type=int, default=14)
     args = ap.parse_args()
+    global IMG
+    IMG = tuple(args.image)
     os.makedirs(args.out, exist_ok=True)
     mf = open(os.path.join(args.out, "metrics.jsonl"), "a")
 
@@ -101,7 +106,8 @@ def main():
         mf.flush()
 
     net = SuperPointNet()
-    ds = CornerTextures(image_size=IMG, seed=0)
+    ds = CornerTextures(image_size=IMG, n_blobs=args.n_blobs,
+                        n_rects=args.n_rects, seed=0)
     rng = np.random.RandomState(1)
     b = make_batch(ds, rng, args.batch)
     params = net.init(jax.random.PRNGKey(0), jnp.asarray(b["image"])[..., None])
