@@ -16,6 +16,7 @@ from .pose_graph import (
     gauss_newton_step,
     graph_from_odometry,
     optimize_pose_graph,
+    optimize_pose_graph_two_stage,
 )
 
 __all__ = [k for k in dir() if not k.startswith("_")]

@@ -55,6 +55,7 @@ def gauss_newton_step(
     damping: float = 1e-6,
     fix_first: bool = True,
     huber_delta: float | None = None,
+    dof_mask: jnp.ndarray | None = None,
 ) -> Tuple[PoseGraph, jnp.ndarray]:
     """One (Levenberg-damped) Gauss-Newton step. Returns (graph, mean |r|²).
 
@@ -63,6 +64,11 @@ def gauss_newton_step(
     few catastrophic measurements (e.g. failed wide-baseline skip edges)
     cannot corrupt the whole trajectory — without it GN is quadratic and
     outlier edges dominate.
+
+    `dof_mask` (6-vector of 0/1, se(3) order (v, w)) freezes per-node
+    update DoF: entries with 0 receive no update. This enables staged
+    solves (rotation-only averaging, then translation-only refinement)
+    where full 6-DoF GN would let translation misfit bend rotations.
     """
     N = graph.poses.shape[0]
 
@@ -87,14 +93,20 @@ def gauss_newton_step(
 
     H = J.T @ J
     g = J.T @ r0
+    mask = jnp.ones(N * 6, dtype=bool)
     if fix_first:
-        # Gauge fixing: clamp the first pose by zeroing its rows/cols and
-        # putting identity on its diagonal block.
-        mask = jnp.arange(N * 6) >= 6
-        H = H * mask[:, None] * mask[None, :] + jnp.diag(
-            jnp.where(mask, 0.0, 1.0)
+        # Gauge fixing: clamp the first pose.
+        mask = mask & (jnp.arange(N * 6) >= 6)
+    if dof_mask is not None:
+        mask = mask & jnp.tile(
+            jnp.asarray(dof_mask).astype(bool), N
         )
-        g = g * mask
+    # Frozen DoF: zero their rows/cols and put identity on the diagonal so
+    # the dense solve leaves them exactly at zero update.
+    H = H * mask[:, None] * mask[None, :] + jnp.diag(
+        jnp.where(mask, 0.0, 1.0)
+    )
+    g = g * mask
     H = H + damping * jnp.eye(N * 6, dtype=H.dtype)
     delta = -jnp.linalg.solve(H, g)
     new_poses = _apply_delta(graph.poses, delta.reshape(N, 6))
@@ -106,13 +118,57 @@ def optimize_pose_graph(
     iters: int = 10,
     damping: float = 1e-6,
     huber_delta: float | None = None,
+    dof_mask: jnp.ndarray | None = None,
 ) -> Tuple[PoseGraph, jnp.ndarray]:
     """Run `iters` GN steps; returns (graph, per-iter mean residual²)."""
     errs = []
     for _ in range(iters):
-        graph, e = gauss_newton_step(graph, damping, huber_delta=huber_delta)
+        graph, e = gauss_newton_step(
+            graph, damping, huber_delta=huber_delta, dof_mask=dof_mask
+        )
         errs.append(e)
     return graph, jnp.stack(errs)
+
+
+def optimize_pose_graph_two_stage(
+    graph: PoseGraph,
+    rot_iters: int = 10,
+    trans_iters: int = 10,
+    damping: float = 1e-6,
+    huber_delta: float | None = None,
+) -> Tuple[PoseGraph, jnp.ndarray]:
+    """Rotation averaging, then translation refinement with rotations frozen.
+
+    Monocular two-view edges measure rotation well but translation only up
+    to scale/noise; joint 6-DoF GN lets skip-edge translation misfit bend
+    rotations (measured: rot drift 24.7 -> ~192 deg/100m on the vo_sp_ft
+    sequence, experiments/vo_pose_graph_ft*). The classical global-SfM cure
+    (rotation averaging + translation averaging, cf. Govindu/1DSfM) splits
+    the solve:
+
+      1. SO(3) stage: residual weights keep only the ω components and the
+         update is masked to rotation DoF — pure multi-edge rotation
+         averaging, translation misfit cannot touch R.
+      2. Translation stage: rotations frozen (update masked to v DoF),
+         full edge weights — skip edges now only average down translation
+         noise.
+
+    Returns (graph, concat per-iter residuals of both stages).
+    """
+    w = graph.weights
+    w6 = w[:, None] * jnp.ones((1, 6), w.dtype) if w.ndim == 1 else w
+    rot_only = jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0], w6.dtype)
+    g_rot = graph._replace(weights=w6 * rot_only)
+    g_rot, errs_r = optimize_pose_graph(
+        g_rot, iters=rot_iters, damping=damping, huber_delta=huber_delta,
+        dof_mask=jnp.asarray([0, 0, 0, 1, 1, 1]),
+    )
+    g_trans = graph._replace(poses=g_rot.poses)
+    g_trans, errs_t = optimize_pose_graph(
+        g_trans, iters=trans_iters, damping=damping, huber_delta=huber_delta,
+        dof_mask=jnp.asarray([1, 1, 1, 0, 0, 0]),
+    )
+    return g_trans, jnp.concatenate([errs_r, errs_t])
 
 
 def graph_from_odometry(

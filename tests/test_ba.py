@@ -69,6 +69,77 @@ def test_pose_graph_recovers_from_drift(rng):
     assert end_err1 < end_err0
 
 
+def test_pose_graph_dof_mask_freezes_rotations(rng):
+    gt, rels = _make_trajectory(rng, 6)
+    rels_noisy = rels.copy()
+    rels_noisy[:, :3, 3] += rng.randn(len(rels), 3) * 0.05
+    graph = ba.graph_from_odometry(jnp.asarray(rels_noisy, jnp.float32))
+    graph2, _ = ba.gauss_newton_step(
+        graph, dof_mask=jnp.asarray([1, 1, 1, 0, 0, 0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(graph2.poses[:, :3, :3]),
+        np.asarray(graph.poses[:, :3, :3]),
+        atol=1e-6,
+    )
+
+
+def test_pose_graph_two_stage_preserves_rotations(rng):
+    """Regression for the skip-edge trade-off (ROADMAP: vo_pose_graph_ft*).
+
+    Skip edges with informative translation but noisy rotation: joint 6-DoF
+    GN absorbs translation misfit by bending rotations; the two-stage solve
+    (rotation averaging, then frozen-R translation refinement) must keep
+    rotations at least as accurate while still improving translation over
+    the drifting initial chain.
+    """
+    gt, rels = _make_trajectory(rng, 10)
+    # Monocular-like odometry: accurate rotations, noisy translations.
+    rels_noisy = rels.copy()
+    rels_noisy[:, :3, 3] += rng.randn(len(rels), 3) * 0.08
+    # Skip edges i -> i+2: exact translation, heavily corrupted rotation.
+    skip_edges, skip_meas = [], []
+    for i in range(len(gt) - 2):
+        T = (gt[i + 2] @ np.linalg.inv(gt[i])).copy()
+        Rn = np.asarray(
+            so3_exp(jnp.asarray(rng.randn(3).astype(np.float32) * 0.3))
+        )
+        T[:3, :3] = Rn @ T[:3, :3]
+        skip_edges.append([i, i + 2])
+        skip_meas.append(T)
+    graph = ba.graph_from_odometry(
+        jnp.asarray(rels_noisy, jnp.float32),
+        loop_edges=jnp.asarray(skip_edges),
+        loop_measurements=jnp.asarray(np.stack(skip_meas), jnp.float32),
+        odo_weight=1.0,
+        # Rotation weight exactly 0: safe under the two-stage solve (frozen
+        # R in stage 2), while joint GN turns the unconstrained rotations
+        # into free DoF that absorb skip-edge translation misfit.
+        loop_weight=jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 0.0]),
+    )
+    joint, _ = ba.optimize_pose_graph(graph, iters=10)
+    staged, _ = ba.optimize_pose_graph_two_stage(
+        graph, rot_iters=10, trans_iters=10
+    )
+
+    def rot_err_deg(poses):
+        d = np.asarray(poses)[:, :3, :3] @ gt[:, :3, :3].transpose(0, 2, 1)
+        tr = np.clip((np.trace(d, axis1=1, axis2=2) - 1) / 2, -1, 1)
+        return float(np.mean(np.degrees(np.arccos(tr))))
+
+    def trans_err(poses):
+        return float(np.mean(np.linalg.norm(
+            np.asarray(poses)[:, :3, 3] - gt[:, :3, 3], axis=1
+        )))
+
+    assert rot_err_deg(staged.poses) <= rot_err_deg(joint.poses) + 1e-6, (
+        rot_err_deg(staged.poses), rot_err_deg(joint.poses)
+    )
+    assert trans_err(staged.poses) < trans_err(graph.poses), (
+        trans_err(staged.poses), trans_err(graph.poses)
+    )
+
+
 def _make_ba_problem(rng, C=4, P=64, noise_px=0.0, perturb=0.0):
     f = 300.0
     K = np.array([[f, 0, 160.0], [0, f, 120.0], [0, 0, 1.0]])

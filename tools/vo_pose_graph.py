@@ -55,6 +55,12 @@ def main():
                          "translation misfit (measured: rot drift 100 vs "
                          "69 deg/100m at 0.1 vs 1.0, vo_pose_graph{2,3})")
     ap.add_argument("--gn_iters", type=int, default=15)
+    ap.add_argument("--two_stage", action="store_true",
+                    help="rotation averaging then frozen-R translation "
+                         "refinement (optimize_pose_graph_two_stage) — "
+                         "skip edges improve translation without bending "
+                         "rotations; with this flag the skip rotation "
+                         "weight can safely be 0")
     ap.add_argument("--huber", type=float, default=0.05,
                     help="Huber delta on the se(3) edge-residual norm "
                          "(0 disables); robustifies against failed "
@@ -70,6 +76,7 @@ def main():
     from deepfepe_tpu.ba.pose_graph import (
         graph_from_odometry,
         optimize_pose_graph,
+        optimize_pose_graph_two_stage,
     )
     from deepfepe_tpu.data.synthetic_images import SyntheticImageSequence
     from deepfepe_tpu.eval import (
@@ -168,10 +175,16 @@ def main():
         odo_weight=1.0,
         loop_weight=jnp.asarray([sw, sw, sw, srw, srw, srw]),
     )
-    graph_opt, errs = optimize_pose_graph(
-        graph, iters=args.gn_iters,
-        huber_delta=args.huber if args.huber > 0 else None,
-    )
+    if args.two_stage:
+        graph_opt, errs = optimize_pose_graph_two_stage(
+            graph, rot_iters=args.gn_iters, trans_iters=args.gn_iters,
+            huber_delta=args.huber if args.huber > 0 else None,
+        )
+    else:
+        graph_opt, errs = optimize_pose_graph(
+            graph, iters=args.gn_iters,
+            huber_delta=args.huber if args.huber > 0 else None,
+        )
 
     gt_traj = seq.gt_trajectory()
     total = float(np.linalg.norm(np.diff(gt_traj[:, :3, 3], axis=0),
