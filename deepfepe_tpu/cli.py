@@ -187,39 +187,54 @@ def cmd_eval_vo(args):
         lengths = tuple(float(x) for x in args.lengths.split(","))
 
     first = None
-    rels_est, rels_gt, errqs, errts = [], [], [], []
     key = jax.random.PRNGKey(0)
     use_baseline = args.baseline
-    for batch in batch_iter:
-        b = shard_batch(trainer.mesh, batch)
-        if first is None:
-            first = batch
-            if trainer.state is None:
-                if args.pretrained:
-                    trainer.restore(args.pretrained, batch)
-                else:
-                    trainer.init_state(batch)
-        key, sub = jax.random.split(key)
-        metrics = trainer.eval_step(trainer.state.params, b)
-        E_est = metrics["E_ests"]
-        rt = val_rt_batch(
-            E_est, b["Ks"], b["matches_xy_ori"], b["E_gts"],
-            b["delta_Rtijs_4_4"],
-            ransac_key=sub if use_baseline else None,
-            five_point=cfg.exps.five_point,
-        )
-        M = np.asarray(rt["M_base" if use_baseline else "M_est"])
-        eq = np.asarray(rt["err_q_base" if use_baseline else "err_q_est"])
-        et = np.asarray(rt["err_t_base" if use_baseline else "err_t_est"])
-        frames = np.asarray(batch["frame_i"]) if "frame_i" in batch else None
-        for i in range(M.shape[0]):
-            fidx = int(frames[i]) if frames is not None else len(rels_est)
-            if fidx == len(rels_est):  # skip padded duplicates
-                rels_est.append(M[i])
-                rels_gt.append(np.asarray(batch["delta_Rtijs_4_4"][i]))
-                errqs.append(float(eq[i]))
-                errts.append(float(et[i]))
 
+    def run_pass(batch_iter):
+        """One ordered sweep: per-pair M estimates (+gt, errors, gt scale)."""
+        nonlocal first, key
+        rels_est, rels_gt, errqs, errts, scales = [], [], [], [], []
+        for batch in batch_iter:
+            b = shard_batch(trainer.mesh, batch)
+            if first is None:
+                first = batch
+                if trainer.state is None:
+                    if args.pretrained:
+                        trainer.restore(args.pretrained, batch)
+                    else:
+                        trainer.init_state(batch)
+            key, sub = jax.random.split(key)
+            metrics = trainer.eval_step(trainer.state.params, b)
+            E_est = metrics["E_ests"]
+            rt = val_rt_batch(
+                E_est, b["Ks"], b["matches_xy_ori"], b["E_gts"],
+                b["delta_Rtijs_4_4"],
+                ransac_key=sub if use_baseline else None,
+                five_point=cfg.exps.five_point,
+            )
+            M = np.asarray(rt["M_base" if use_baseline else "M_est"])
+            eq = np.asarray(rt["err_q_base" if use_baseline else "err_q_est"])
+            et = np.asarray(rt["err_t_base" if use_baseline else "err_t_est"])
+            frames = (
+                np.asarray(batch["frame_i"]) if "frame_i" in batch else None
+            )
+            for i in range(M.shape[0]):
+                fidx = int(frames[i]) if frames is not None else len(rels_est)
+                if fidx == len(rels_est):  # skip padded duplicates
+                    rels_est.append(M[i])
+                    rels_gt.append(np.asarray(batch["delta_Rtijs_4_4"][i]))
+                    errqs.append(float(eq[i]))
+                    errts.append(float(et[i]))
+                    scales.append(
+                        float(batch["t_scene_scale"][i])
+                        if "t_scene_scale" in batch
+                        else float(np.linalg.norm(
+                            np.asarray(batch["delta_Rtijs_4_4"][i][:3, 3])
+                        ))
+                    )
+        return rels_est, rels_gt, errqs, errts, scales
+
+    rels_est, rels_gt, errqs, errts, scales1 = run_pass(batch_iter)
     traj_est = chain_relative_poses(np.stack(rels_est))
     if gt_traj is None:
         gt_traj = chain_relative_poses(np.stack(rels_gt))
@@ -231,6 +246,57 @@ def cmd_eval_vo(args):
     report["median_err_q"] = float(np.median(errqs))
     report["median_err_t"] = float(np.median(errts))
     report["n_pairs"] = len(rels_est)
+
+    if args.pose_graph:
+        # Multi-frame fusion (new capability beyond the reference's chaining,
+        # SURVEY.md §5.7): a second (i, i+2) sweep provides skip edges; the
+        # two-stage solve (rotation averaging, then frozen-R translation
+        # refinement) averages down translation noise without bending
+        # rotations. Monocular convention: per-edge gt translation scale.
+        if cfg.data.dataset != "synthetic":
+            raise SystemExit(
+                "--pose_graph needs delta-2 pairs; dump-backed datasets "
+                "expose them as a separate delta_ij dump tree — run "
+                "tools/vo_pose_graph.py against that dump instead"
+            )
+        import jax.numpy as jnp
+
+        from .ba.pose_graph import (
+            graph_from_odometry,
+            optimize_pose_graph_two_stage,
+        )
+
+        rels2, _, _, _, scales2 = run_pass(seq.pair_batches(bs, delta=2))
+
+        def scaled(Ms, ss):
+            out = []
+            for M, s in zip(Ms, ss):
+                T = np.eye(4)
+                T[:3, :3] = M[:3, :3]
+                tn = M[:3, 3]
+                T[:3, 3] = tn / max(np.linalg.norm(tn), 1e-9) * s
+                out.append(T)
+            return np.stack(out).astype(np.float32)
+
+        n = len(rels_est) + 1
+        graph = graph_from_odometry(
+            jnp.asarray(scaled(rels_est, scales1)),
+            loop_edges=jnp.asarray(
+                np.stack([np.arange(n - 2), np.arange(2, n)], -1), jnp.int32
+            ),
+            loop_measurements=jnp.asarray(scaled(rels2, scales2)),
+            odo_weight=1.0,
+            loop_weight=jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 0.0]),
+        )
+        graph, _ = optimize_pose_graph_two_stage(graph, huber_delta=0.05)
+        traj_fused = np.asarray(jnp.linalg.inv(graph.poses))
+        export_poses_kitti(
+            traj_fused, os.path.join(save_dir, "trajectory_pose_graph.txt")
+        )
+        fused = evaluate_sequence(gt_traj, traj_fused, align="scale", **kw)
+        report["pose_graph"] = {
+            k: round(float(v), 4) for k, v in fused.items()
+        }
     # result.txt in the reference's format (results/*/result.txt).
     with open(os.path.join(save_dir, "result.txt"), "w") as f:
         f.write(f"Sequence: \t {args.scene or 'synthetic'} \n")
@@ -310,6 +376,9 @@ def main(argv=None):
     sp.add_argument("--lengths", default="",
                     help="comma list of segment lengths for trans/rot "
                          "errors (default: KITTI 100..800m)")
+    sp.add_argument("--pose_graph", action="store_true",
+                    help="fuse a second delta-2 sweep via the two-stage "
+                         "pose-graph solve (synthetic sequences)")
     sp.add_argument("--baseline", action="store_true",
                     help="use the RANSAC-8pt baseline instead of the net")
     sp.set_defaults(fn=cmd_eval_vo)

@@ -73,10 +73,10 @@ class SyntheticSequence:
         """T_ij with x_j = T_ij x_i (frame-i coords into frame j)."""
         return self.world2cam[j] @ self.cam2world[i]
 
-    def _pair_item(self, i: int) -> Dict[str, np.ndarray]:
+    def _pair_item(self, i: int, delta: int = 1) -> Dict[str, np.ndarray]:
         H, W = self.image_size
         K = self.K
-        j = i + 1
+        j = i + delta
         rel = self.relative_pose(i, j)
         R, t = rel[:3, :3], rel[:3, 3]
         n = self.good_num
@@ -134,11 +134,14 @@ class SyntheticSequence:
             "frame_i": np.int32(i),
         }
 
-    def pair_batches(self, batch_size: int):
-        """Yield consecutive-pair batches covering the whole sequence in
-        order (last partial batch padded by repeating the final pair)."""
+    def pair_batches(self, batch_size: int, delta: int = 1):
+        """Yield frame-ordered (i, i+delta) pair batches covering the whole
+        sequence (last partial batch padded by repeating the final pair).
+        delta mirrors the reference's delta_ij dump knob
+        (kitti_corr_baselineEval.yaml:7); delta>1 provides skip edges for
+        multi-frame pose-graph fusion."""
         items: List[dict] = [
-            self._pair_item(i) for i in range(self.n_frames - 1)
+            self._pair_item(i, delta) for i in range(self.n_frames - delta)
         ]
         for s in range(0, len(items), batch_size):
             chunk = items[s : s + batch_size]

@@ -84,3 +84,30 @@ def test_vo_pipeline_ransac_baseline_reaches_kitti_accuracy():
     assert report["rot_err_deg_per_100m"] < 6.0, report
     assert report["trans_err_pct"] < 10.0, report
     assert report["ATE_m"] < 2.0, report
+
+
+def test_cli_eval_vo_pose_graph_fusion(tmp_path, monkeypatch):
+    """CLI surface for multi-frame fusion: eval_vo --pose_graph runs a
+    delta-2 sweep and the two-stage solve. Invariant: skip edges carry zero
+    rotation weight, so the fused trajectory's rotation metrics equal the
+    chained ones (rotations untouched), while the fused trajectory file is
+    exported alongside."""
+    import os
+
+    from deepfepe_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    report = main([
+        "eval_vo", "/root/repo/configs/synthetic_baseline.yaml", "pgtest",
+        "--n_frames", "8", "--pose_graph",
+    ])
+    assert "pose_graph" in report
+    fused = report["pose_graph"]
+    for k in ("trans_err_pct", "rot_err_deg_per_100m", "ATE_m"):
+        assert np.isfinite(fused[k]), fused
+    assert abs(
+        fused["rot_err_deg_per_100m"] - report["rot_err_deg_per_100m"]
+    ) < 0.1 * max(1.0, report["rot_err_deg_per_100m"]), (fused, report)
+    assert os.path.isfile(
+        os.path.join("logs", "pgtest", "trajectory_pose_graph.txt")
+    )
