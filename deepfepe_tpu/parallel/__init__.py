@@ -10,6 +10,7 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .nshard import make_nsharded_fit
 from .tp import shard_params_tp, tp_param_shardings
 
 __all__ = [k for k in dir() if not k.startswith("_")]

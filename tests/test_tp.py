@@ -111,3 +111,55 @@ def test_tp_train_step_runs_and_keeps_shardings():
         if hasattr(x, "sharding") and x.sharding.spec
     ]
     assert any(s[-1] == MODEL_AXIS for s in specs if len(s)), specs
+
+
+def test_nsharded_fit_matches_unsharded(rng):
+    """Correspondence-parallel fit (SURVEY.md §5.7 N-axis sharding): the
+    psum-assembled Hartley transform, Gram and residual must match the
+    single-device weighted_eight_point, values AND gradients."""
+    from conftest import synthetic_pair
+
+    from deepfepe_tpu.ops.fmatrix import weighted_eight_point
+    from deepfepe_tpu.parallel import make_nsharded_fit
+
+    B, N = 3, 256
+    pairs = [synthetic_pair(rng, n=N, noise=0.4, outlier_frac=0.2)
+             for _ in range(B)]
+    to_h = lambda x: np.concatenate([x, np.ones((N, 1))], -1)
+    p1 = jnp.asarray(np.stack([to_h(p["x1"]) for p in pairs]), jnp.float32)
+    p2 = jnp.asarray(np.stack([to_h(p["x2"]) for p in pairs]), jnp.float32)
+    w = jax.nn.softmax(
+        jnp.asarray(rng.randn(B, N), jnp.float32) * 0.5, axis=-1
+    )
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    fit = make_nsharded_fit(mesh, axis=MODEL_AXIS)
+    F_sh, res_sh = jax.jit(fit)(p1, p2, w)
+    ref = weighted_eight_point(p1, p2, w)
+
+    # F defined up to sign; compare normalized with sign alignment.
+    F_a = np.asarray(F_sh)
+    F_b = np.asarray(ref.F)
+    for i in range(B):
+        a = F_a[i] / np.linalg.norm(F_a[i])
+        b = F_b[i] / np.linalg.norm(F_b[i])
+        if np.sum(a * b) < 0:
+            a = -a
+        np.testing.assert_allclose(a, b, atol=2e-5)
+    r_a, r_b = np.asarray(res_sh), np.asarray(ref.residual)
+    sgn = np.sign(np.sum(r_a * r_b, axis=-1, keepdims=True))
+    np.testing.assert_allclose(sgn * r_a, r_b, atol=2e-5)
+
+    # Gradient parity through the sharded collectives (psum transpose).
+    def loss_sh(w_):
+        F, _ = fit(p1, p2, w_)
+        return jnp.sum(jnp.abs(F))
+
+    def loss_ref(w_):
+        out = weighted_eight_point(p1, p2, w_)
+        return jnp.sum(jnp.abs(out.F))
+
+    g_sh = np.asarray(jax.grad(loss_sh)(w))
+    g_ref = np.asarray(jax.grad(loss_ref)(w))
+    # |F| is sign-invariant, so gradients are directly comparable.
+    np.testing.assert_allclose(g_sh, g_ref, atol=5e-4, rtol=1e-3)
