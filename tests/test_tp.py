@@ -163,3 +163,46 @@ def test_nsharded_fit_matches_unsharded(rng):
     g_ref = np.asarray(jax.grad(loss_ref)(w))
     # |F| is sign-invariant, so gradients are directly comparable.
     np.testing.assert_allclose(g_sh, g_ref, atol=5e-4, rtol=1e-3)
+
+
+def test_full_step_with_n_axis_gspmd_sharding():
+    """GSPMD variant of the §5.7 N-axis sharding: commit the correspondence
+    axis of the batch arrays onto the 'model' mesh axis and jit the SAME
+    loss function — XLA partitions the pointwise MLP over N and inserts the
+    collectives for the softmax-over-N and the 9x9 Gram contraction. Loss
+    and gradients must match the replicated run (no code changes needed:
+    static shapes + named shardings are the whole mechanism)."""
+    from jax.sharding import NamedSharding
+
+    from deepfepe_tpu.parallel import DATA_AXIS, shard_params
+
+    cfg = _cfg()
+    net = DeepFNet(depth=3, image_size=(376, 1241), if_quality=True)
+    ds = SyntheticPairs(good_num=128, seed=4)
+    batch = ds.batch(4)
+    params = net.init(jax.random.PRNGKey(0), batch)
+
+    def loss_fn(params, b):
+        return compute_losses(net, params, b, cfg, 0.1, 0.5)[0]
+
+    mesh1 = make_mesh(n_data=1)
+    l0, g0 = jax.value_and_grad(loss_fn)(params, shard_batch(mesh1, batch))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    b_sh = shard_batch(mesh, batch)
+    nsh = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+    for k in ("matches_xy_ori", "quality"):
+        b_sh[k] = jax.device_put(batch[k], nsh)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_fn))(
+        shard_params(mesh, params), b_sh
+    )
+
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    v0 = np.concatenate(
+        [np.ravel(x) for x in jax.tree_util.tree_leaves(jax.device_get(g0))]
+    )
+    v1 = np.concatenate(
+        [np.ravel(x) for x in jax.tree_util.tree_leaves(jax.device_get(g1))]
+    )
+    cos = np.dot(v0, v1) / (np.linalg.norm(v0) * np.linalg.norm(v1))
+    assert cos > 1 - 1e-5, cos
