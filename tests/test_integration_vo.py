@@ -111,3 +111,19 @@ def test_cli_eval_vo_pose_graph_fusion(tmp_path, monkeypatch):
     assert os.path.isfile(
         os.path.join("logs", "pgtest", "trajectory_pose_graph.txt")
     )
+
+
+def test_sequence_delta_pairs_consistent():
+    """delta>1 pair items measure the composed relative pose: the delta-2
+    measurement must equal rel(i+1,i+2) @ rel(i,i+1) exactly (gt), matching
+    the reference's delta_ij dump semantics."""
+    seq = SyntheticSequence(n_frames=6, good_num=64, noise_px=0.0,
+                            outlier_frac=0.0, seed=9)
+    for i in range(4):
+        T2 = seq._pair_item(i, delta=2)["delta_Rtijs_4_4"]
+        T_comp = seq.relative_pose(i + 1, i + 2) @ seq.relative_pose(i, i + 1)
+        np.testing.assert_allclose(T2, T_comp, atol=1e-6)
+    # Batches carry the right frame indices and count.
+    batches = list(seq.pair_batches(2, delta=2))
+    frames = np.concatenate([b["frame_i"] for b in batches])
+    assert set(frames[:4].tolist()) == {0, 1, 2, 3}
