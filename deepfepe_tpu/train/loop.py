@@ -31,8 +31,21 @@ def save_checkpoint(path: str, state: TrainState) -> None:
 
 
 def load_checkpoint(path: str, state_template: TrainState) -> TrainState:
+    """Restore a TrainState; params-only checkpoints (opt_state: None) keep
+    the template's fresh optimizer state — the reference restores net and
+    optimizer separately (pretrainedLoader_net/_opt, utils/loader.py:196,215)
+    and eval/fine-tune flows routinely carry net-only files."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(state_template, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and raw.get("opt_state") is None:
+        params = serialization.from_state_dict(
+            state_template.params, raw["params"]
+        )
+        n_iter = raw.get("n_iter", state_template.n_iter)
+        return state_template.replace(
+            params=params, n_iter=jnp.asarray(n_iter)
+        )
+    return serialization.from_state_dict(state_template, raw)
 
 
 class MetricLogger:
