@@ -83,6 +83,9 @@ class TrainingConfig:
     val_interval: int = 200
     val_batches: int = 10
     save_interval: int = 200
+    # First-party tfevents scalars under <save_dir>/runs (the reference's
+    # `tensorboard --logdir runs/train_good` workflow, README.md:244-247).
+    tensorboard: bool = True
     # Profiling (SURVEY.md §5.1 — new subsystem, absent in the reference):
     # if profile_dir is set, Trainer.fit captures an xprof device trace of
     # iterations [profile_start, profile_start + profile_steps).

@@ -49,15 +49,27 @@ def load_checkpoint(path: str, state_template: TrainState) -> TrainState:
 
 
 class MetricLogger:
-    """JSONL metric sink (stands in for the reference's tensorboardX)."""
+    """Dual metric sink: JSONL (machine-readable) plus first-party
+    tfevents scalars (the reference's tensorboardX workflow,
+    `tensorboard --logdir` per README.md:244-247 — SURVEY.md §5.5)."""
 
-    def __init__(self, path: Optional[str] = None, echo_every: int = 50):
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        echo_every: int = 50,
+        tb_dir: Optional[str] = None,
+    ):
         self.path = path
         self.echo_every = echo_every
         self._f = None
+        self._tb = None
         if path:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             self._f = open(path, "a")
+        if tb_dir:
+            from ..utils.tb_writer import TBWriter
+
+            self._tb = TBWriter(tb_dir)
 
     def log(self, n_iter: int, tag: str, metrics: Dict) -> None:
         scalars = {
@@ -69,13 +81,28 @@ class MetricLogger:
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()
+        if self._tb:
+            for k, v in scalars.items():
+                self._tb.add_scalar(f"{tag}/{k}", v, n_iter)
         if n_iter % self.echo_every == 0:
             brief = {k: round(v, 6) for k, v in scalars.items()}
             print(f"[{tag}] iter={n_iter} {brief}", flush=True)
 
+    def log_histogram(self, n_iter: int, tag: str, values) -> None:
+        """Weight/residual histograms (Train_model_pipeline.py:772-815)."""
+        if self._tb:
+            self._tb.add_histogram(tag, values, n_iter)
+
+    def log_image(self, n_iter: int, tag: str, img) -> None:
+        """Weight-heatmap images (Train_model_pipeline.py:998-1035)."""
+        if self._tb:
+            self._tb.add_image(tag, img, n_iter)
+
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb:
+            self._tb.close()
 
 
 class Trainer:
@@ -97,7 +124,12 @@ class Trainer:
         self.train_step = make_train_step(net, self.tx, cfg)
         self.eval_step = make_eval_step(net, cfg)
         self.logger = MetricLogger(
-            os.path.join(save_dir, "metrics.jsonl") if save_dir else None
+            os.path.join(save_dir, "metrics.jsonl") if save_dir else None,
+            tb_dir=(
+                os.path.join(save_dir, "runs")
+                if save_dir and cfg.training.tensorboard
+                else None
+            ),
         )
         self.rng_seed = rng_seed
         self.state: Optional[TrainState] = None
