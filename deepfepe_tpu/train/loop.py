@@ -35,6 +35,22 @@ def load_checkpoint(path: str, state_template: TrainState) -> TrainState:
     the template's fresh optimizer state — the reference restores net and
     optimizer separately (pretrainedLoader_net/_opt, utils/loader.py:196,215)
     and eval/fine-tune flows routinely carry net-only files."""
+    if path.endswith(".pth") or path.endswith(".pth.tar"):
+        # Reference torch checkpoints (model zoo / user files,
+        # README.md:104-169): convert the state_dict in place; optimizer
+        # state is torch Adam moments and is intentionally not carried over.
+        from ..utils.torch_import import load_reference_checkpoint
+
+        variables, n_iter = load_reference_checkpoint(path, kind="deepf")
+        params = serialization.from_state_dict(
+            state_template.params, variables
+        )
+        return state_template.replace(
+            params=params,
+            n_iter=jnp.asarray(
+                n_iter if n_iter is not None else state_template.n_iter
+            ),
+        )
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     if isinstance(raw, dict) and raw.get("opt_state") is None:

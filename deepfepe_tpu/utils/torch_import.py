@@ -1,0 +1,155 @@
+"""Import reference torch checkpoints (.pth.tar) into deepfepe_tpu params.
+
+The reference ships a pretrained model zoo as torch `.pth.tar` files
+(`README.md:104-169`) saved by `save_checkpoint` with
+`{n_iter, model_state_dict, optimizer_state_dict, loss}`
+(`Train_model_pipeline.py:56-77`). SURVEY.md §7.3 flags checkpoint
+translation as the fastest route to accuracy parity; this module maps those
+state dicts onto our flax param trees so a reference user can bring their
+trained models:
+
+- DeepFNet (`models/DeepFNet.py:325-330`): attributes `input_weights`,
+  `update_weights`, `update_offsets` are `ErrorEstimator` Conv1d stacks
+  (`models/ErrorEstimators.py:14-69`) — Sequential `fw` with Conv1d at
+  indices 0,3,6,9,12,15 and affine InstanceNorm1d at 1,4,7,10,13 (non-BN);
+  with `if_bn`, Conv1d at 0,4,8,12,16,20, BatchNorm1d at 1,5,...,
+  InstanceNorm1d at 2,6,....
+- SuperPoint (`SuperPointNet` classic layout, magicleap `superpoint_v1.pth`):
+  conv1a..conv4b encoder + convPa/convPb detector and convDa/convDb
+  descriptor heads — the layout our `frontend.SuperPointNet` mirrors.
+
+Layout transforms: torch Conv1d weight [out,in,1] -> Dense kernel [in,out];
+torch Conv2d weight [out,in,kh,kw] -> flax kernel [kh,kw,in,out]
+(NCHW->NHWC); InstanceNorm weight/bias -> scale/bias.
+
+torch (CPU) is only imported inside `load_pth_tar`; conversion itself is
+pure numpy, so tests can feed ordinary dicts of arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def load_pth_tar(path: str) -> Dict:
+    """Load a torch checkpoint to numpy-backed dicts (host-only)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return ckpt
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()  # torch tensor
+
+
+def strip_module_prefix(sd: Dict) -> Dict:
+    """Drop the nn.DataParallel 'module.' prefix (the reference unwraps via
+    net.module at save time, Train_model_pipeline.py:59-62, but older files
+    in the wild keep it)."""
+    if any(k.startswith("module.") for k in sd):
+        return {k[len("module."):] if k.startswith("module.") else k: v
+                for k, v in sd.items()}
+    return sd
+
+
+def convert_error_estimator(
+    sd: Dict, prefix: str, if_bn: bool = False
+) -> Tuple[Dict, Dict]:
+    """Map one ErrorEstimator ('<prefix>.fw.<i>.{weight,bias}') to our flax
+    {'Dense_i', 'InstanceNorm1d_i'[, 'BatchNorm_i']} tree.
+
+    Returns (params, batch_stats); batch_stats is empty for non-BN nets.
+    """
+    n_hidden = 5
+    stride = 4 if if_bn else 3
+    conv_idx = [i * stride for i in range(n_hidden)] + [n_hidden * stride]
+    in_off = 2 if if_bn else 1  # InstanceNorm position within each block
+    params: Dict = {}
+    stats: Dict = {}
+    for li, ci in enumerate(conv_idx):
+        w = _to_np(sd[f"{prefix}.fw.{ci}.weight"])  # [out, in, 1]
+        dense = {"kernel": np.ascontiguousarray(w[:, :, 0].T)}
+        bkey = f"{prefix}.fw.{ci}.bias"
+        if bkey in sd:
+            dense["bias"] = _to_np(sd[bkey])
+        elif li < n_hidden or not if_bn:
+            raise KeyError(bkey)
+        params[f"Dense_{li}"] = dense
+        if li < n_hidden:
+            ii = ci + in_off
+            params[f"InstanceNorm1d_{li}"] = {
+                "scale": _to_np(sd[f"{prefix}.fw.{ii}.weight"]),
+                "bias": _to_np(sd[f"{prefix}.fw.{ii}.bias"]),
+            }
+            if if_bn:
+                bi = ci + 1
+                params[f"BatchNorm_{li}"] = {
+                    "scale": _to_np(sd[f"{prefix}.fw.{bi}.weight"]),
+                    "bias": _to_np(sd[f"{prefix}.fw.{bi}.bias"]),
+                }
+                stats[f"BatchNorm_{li}"] = {
+                    "mean": _to_np(sd[f"{prefix}.fw.{bi}.running_mean"]),
+                    "var": _to_np(sd[f"{prefix}.fw.{bi}.running_var"]),
+                }
+    return params, stats
+
+
+def convert_deepf_state(sd: Dict, if_bn: bool = False) -> Dict:
+    """Reference DeepFNet state_dict -> our {'params': {...}} variables.
+
+    Handles input_weights / update_weights and, when present, the
+    learn-offsets head (DeepFNet.py:330)."""
+    sd = strip_module_prefix(sd)
+    nets = sorted({k.split(".")[0] for k in sd if ".fw." in k})
+    if not nets:
+        raise ValueError("no ErrorEstimator weights found in state_dict")
+    params: Dict = {}
+    stats: Dict = {}
+    for name in nets:
+        p, s = convert_error_estimator(sd, name, if_bn=if_bn)
+        params[name] = p
+        if s:
+            stats[name] = s
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def convert_superpoint_state(sd: Dict) -> Dict:
+    """SuperPointNet (conv1a..convDb) state_dict -> our flax variables."""
+    sd = strip_module_prefix(sd)
+    params: Dict = {}
+    for k, v in sd.items():
+        if not k.endswith(".weight") and not k.endswith(".bias"):
+            continue
+        layer, kind = k.rsplit(".", 1)
+        a = _to_np(v)
+        entry = params.setdefault(layer, {})
+        if kind == "weight":
+            entry["kernel"] = np.ascontiguousarray(a.transpose(2, 3, 1, 0))
+        else:
+            entry["bias"] = a
+    return {"params": params}
+
+
+def load_reference_checkpoint(
+    path: str, kind: str = "auto", if_bn: bool = False
+) -> Tuple[Dict, Optional[int]]:
+    """One-call import: returns (variables, n_iter or None).
+
+    kind: 'deepf', 'superpoint', or 'auto' (sniff the state-dict keys)."""
+    ckpt = load_pth_tar(path)
+    sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    n_iter = ckpt.get("n_iter") if isinstance(ckpt, dict) else None
+    keys = list(sd.keys())
+    if kind == "auto":
+        kind = "deepf" if any(".fw." in k for k in keys) else "superpoint"
+    if kind == "deepf":
+        return convert_deepf_state(sd, if_bn=if_bn), n_iter
+    return convert_superpoint_state(sd), n_iter

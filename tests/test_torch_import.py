@@ -1,0 +1,214 @@
+"""Torch .pth.tar checkpoint import (utils/torch_import.py).
+
+Forward-equivalence oracles: torch models built here from the reference's
+documented architecture spec (ErrorEstimators.py:14-69 Conv1d/InstanceNorm
+stack; classic SuperPointNet conv1a..convDb layout) are run side by side
+with our flax modules under converted weights.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from deepfepe_tpu.utils.torch_import import (  # noqa: E402
+    convert_deepf_state,
+    convert_superpoint_state,
+    load_reference_checkpoint,
+    strip_module_prefix,
+)
+
+
+def _torch_error_estimator(input_size, output_size=1, seed=0):
+    """The reference ErrorEstimator stack (non-BN), built from its spec."""
+    torch.manual_seed(seed)
+    dims = [input_size, 64, 128, 1024, 512, 256]
+    layers = []
+    for cin, cout in zip(dims[:-1], dims[1:]):
+        layers += [
+            tnn.Conv1d(cin, cout, kernel_size=1, bias=True),
+            tnn.InstanceNorm1d(cout, affine=True),
+            tnn.LeakyReLU(),
+        ]
+    layers.append(tnn.Conv1d(256, output_size, kernel_size=1, bias=True))
+    net = tnn.Sequential(*layers)
+    # Randomize the affine norms so the test is not identity-covered.
+    with torch.no_grad():
+        for m in net:
+            if isinstance(m, tnn.InstanceNorm1d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.2, 0.2)
+    return net
+
+
+class _TorchDeepFWeights(tnn.Module):
+    """Carrier exposing the reference DeepFNet naming
+    (input_weights.fw.*, update_weights.fw.* — DeepFNet.py:325-326)."""
+
+    def __init__(self, in1, in2):
+        super().__init__()
+        self.input_weights = tnn.Module()
+        self.input_weights.fw = _torch_error_estimator(in1, seed=1)
+        self.update_weights = tnn.Module()
+        self.update_weights.fw = _torch_error_estimator(in2, seed=2)
+
+
+def test_error_estimator_forward_parity():
+    from deepfepe_tpu.models.error_estimator import ErrorEstimator
+
+    tnet = _torch_error_estimator(5, seed=3)
+    sd = {f"ee.fw.{k}": v for k, v in tnet.state_dict().items()}
+    variables = convert_deepf_state(sd)
+    params = variables["params"]["ee"]
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 50, 5)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    ours = ErrorEstimator(output_size=1).apply(
+        {"params": params}, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.transpose(0, 2, 1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_deepf_checkpoint_roundtrip(tmp_path):
+    """Full .pth.tar -> DeepFNet params: tree matches init, forward runs."""
+    from deepfepe_tpu.data import SyntheticPairs
+    from deepfepe_tpu.models import DeepFNet
+
+    carrier = _TorchDeepFWeights(5, 8)
+    ckpt = {
+        "n_iter": 1234,
+        "model_state_dict": {
+            "module." + k: v for k, v in carrier.state_dict().items()
+        },
+        "loss": 0.5,
+    }
+    path = tmp_path / "deepFNet_1234_checkpoint.pth.tar"
+    torch.save(ckpt, path)
+
+    variables, n_iter = load_reference_checkpoint(str(path))
+    assert n_iter == 1234
+
+    net = DeepFNet(depth=2, image_size=(376, 1241), if_quality=True)
+    batch = SyntheticPairs(good_num=100, seed=0).batch(2)
+    init = net.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        batch,
+    )
+    ref_tree = jax.tree_util.tree_structure(init)
+    got_tree = jax.tree_util.tree_structure(variables)
+    assert ref_tree == got_tree
+    for a, b in zip(
+        jax.tree_util.tree_leaves(init), jax.tree_util.tree_leaves(variables)
+    ):
+        assert a.shape == np.shape(b)
+
+    preds = net.apply(
+        variables, batch, rngs={"sample": jax.random.PRNGKey(2)}
+    )
+    assert np.all(np.isfinite(np.asarray(preds["F_est"])))
+
+
+def _torch_superpoint(seed=0):
+    torch.manual_seed(seed)
+
+    class SP(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            c = tnn.Conv2d
+            self.conv1a = c(1, 64, 3, padding=1)
+            self.conv1b = c(64, 64, 3, padding=1)
+            self.conv2a = c(64, 64, 3, padding=1)
+            self.conv2b = c(64, 64, 3, padding=1)
+            self.conv3a = c(64, 128, 3, padding=1)
+            self.conv3b = c(128, 128, 3, padding=1)
+            self.conv4a = c(128, 128, 3, padding=1)
+            self.conv4b = c(128, 128, 3, padding=1)
+            self.convPa = c(128, 256, 3, padding=1)
+            self.convPb = c(256, 65, 1)
+            self.convDa = c(128, 256, 3, padding=1)
+            self.convDb = c(256, 256, 1)
+            self.relu = tnn.ReLU()
+            self.pool = tnn.MaxPool2d(2, 2)
+
+        def forward(self, x):
+            r, p = self.relu, self.pool
+            x = r(self.conv1b(r(self.conv1a(x))))
+            x = p(x)
+            x = r(self.conv2b(r(self.conv2a(x))))
+            x = p(x)
+            x = r(self.conv3b(r(self.conv3a(x))))
+            x = p(x)
+            x = r(self.conv4b(r(self.conv4a(x))))
+            semi = self.convPb(r(self.convPa(x)))
+            desc = self.convDb(r(self.convDa(x)))
+            desc = desc / torch.norm(desc, dim=1, keepdim=True)
+            return semi, desc
+
+    return SP()
+
+
+def test_superpoint_forward_parity():
+    from deepfepe_tpu.frontend import SuperPointNet
+
+    tnet = _torch_superpoint(seed=4)
+    variables = convert_superpoint_state(tnet.state_dict())
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(1, 32, 40, 1)).astype(np.float32)
+    with torch.no_grad():
+        semi_t, desc_t = tnet(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    out = SuperPointNet().apply(variables, jnp.asarray(img))
+    np.testing.assert_allclose(
+        np.asarray(out["semi"]),
+        semi_t.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["desc"]),
+        desc_t.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_strip_module_prefix():
+    sd = {"module.a.weight": 1, "module.b.bias": 2}
+    assert set(strip_module_prefix(sd)) == {"a.weight", "b.bias"}
+    sd2 = {"a.weight": 1}
+    assert strip_module_prefix(sd2) is sd2
+
+
+def test_load_checkpoint_pth_tar(tmp_path):
+    """Trainer-side restore path accepts reference .pth.tar directly."""
+    from deepfepe_tpu.data import SyntheticPairs
+    from deepfepe_tpu.models import DeepFNet
+    from deepfepe_tpu.train import Config, Trainer
+
+    carrier = _TorchDeepFWeights(5, 8)
+    ckpt = {"n_iter": 77, "model_state_dict": carrier.state_dict()}
+    path = tmp_path / "deepFNet_77_checkpoint.pth.tar"
+    torch.save(ckpt, path)
+
+    cfg = Config()
+    cfg.model.if_quality = True
+    net = DeepFNet(depth=2, image_size=(376, 1241), if_quality=True)
+    trainer = Trainer(net, cfg)
+    batch = SyntheticPairs(good_num=100, seed=0).batch(8)
+    trainer.restore(str(path), batch)
+    assert trainer.n_iter == 77
+    got = np.asarray(
+        jax.tree_util.tree_leaves(trainer.state.params)[0]
+    )
+    want = jax.tree_util.tree_leaves(
+        convert_deepf_state(carrier.state_dict())
+    )[0]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
