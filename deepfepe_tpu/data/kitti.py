@@ -75,6 +75,8 @@ class KittiCorrDataset:
         cam_id: str = "02",
         seed: int = 0,
         virtual_iters: int = 8,
+        with_imgs: bool = False,
+        img_gamma: Optional[float] = None,
     ):
         self.root = Path(dump_root)
         self.delta_ij = delta_ij
@@ -84,6 +86,11 @@ class KittiCorrDataset:
         self.cam_id = cam_id
         self.rng = np.random.RandomState(seed)
         self.virtual_iters = virtual_iters
+        # read_what.with_imgs + with_imgs_gamma (kitti_odo_corr.py:240-262):
+        # grayscale frames in [0, 1] for the SP frontend path; optional gamma
+        # perturbation (robustness studies, kitti_corr_baselineEval.yaml:23).
+        self.with_imgs = with_imgs
+        self.img_gamma = img_gamma
         self.zoom_xy = (
             self.resize[1] / image_size[1],
             self.resize[0] / image_size[0],
@@ -162,7 +169,14 @@ class KittiCorrDataset:
         unique_num = min(len(matches), self.good_num)
 
         rel_inv = np.linalg.inv(rel)
+        extra = {}
+        if self.with_imgs:
+            extra["imgs_grey"] = np.stack(
+                [self._load_grey(s["scene"], s["i"]),
+                 self._load_grey(s["scene"], s["j"])]
+            )
         return {
+            **extra,
             "matches_xy_ori": matches[choice],
             "quality": quality[choice],
             "Ks": K.astype(np.float32),
@@ -176,6 +190,27 @@ class KittiCorrDataset:
             "t_scene_scale": np.float32(np.linalg.norm(t)),
             "Rt_cam2_gt": s["Rt_cam2_gt"],
         }
+
+    def _load_grey(self, scene: Path, frame: int) -> np.ndarray:
+        """Load frame `%06d.{jpg,png}` resized to self.resize, grayscale in
+        [0, 1], with optional gamma correction (out = in**gamma, gain 1 —
+        the skimage.exposure.adjust_gamma call at kitti_odo_corr.py:257)."""
+        import cv2
+
+        for ext in ("jpg", "png"):
+            f = scene / f"{frame:06d}.{ext}"
+            if f.exists():
+                break
+        else:
+            raise FileNotFoundError(f"{scene}/{frame:06d}.(jpg|png)")
+        img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+        h, w = self.resize
+        if img.shape[:2] != (h, w):
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+        img = img.astype(np.float32) / 255.0
+        if self.img_gamma is not None:
+            img = img ** np.float32(self.img_gamma)
+        return img
 
     def batches(
         self, batch_size: int, shuffle: bool = True, drop_last: bool = True

@@ -47,6 +47,8 @@ def data_loader(cfg: Config, task: str = "train"):
             image_size=tuple(d.image_size),
             resize=tuple(d.resize) if d.resize else None,
             seed=cfg.training.seed,
+            with_imgs=d.with_imgs,
+            img_gamma=d.with_imgs_gamma,
         )
     raise ValueError(f"unknown dataset {d.dataset!r}")
 

@@ -27,6 +27,11 @@ class DataConfig:
     resize: Optional[Tuple[int, int]] = (376, 1240)
     with_quality: bool = True
     with_pose: bool = True
+    # read_what.with_imgs / with_imgs_gamma (kitti_odo_corr.py:240-262):
+    # grayscale frames for the SP path; gamma != None perturbs them
+    # (robustness studies, kitti_corr_baselineEval.yaml:22-23).
+    with_imgs: bool = False
+    with_imgs_gamma: Optional[float] = None
     # Per-task scene lists for dump datasets (ref: per-task {train,val}.txt
     # frame lists + eval configs pinning seqs 09/10, kitti_odo_corr.py:100).
     # None -> crawl every scene directory under dump_root.
@@ -136,6 +141,12 @@ def config_from_dict(raw: dict) -> Config:
     if isinstance(rw, dict):
         data_raw.setdefault("with_quality", rw.get("with_quality", True))
         data_raw.setdefault("with_pose", rw.get("with_pose", True))
+        data_raw.setdefault("with_imgs", rw.get("with_imgs", False))
+        gamma = rw.get("with_imgs_gamma")
+        # The reference treats gamma 1 as a no-op perturbation.
+        data_raw.setdefault(
+            "with_imgs_gamma", None if gamma in (None, 1, 1.0) else gamma
+        )
 
     train_raw = dict(raw.get("training", {}))
     skip = train_raw.get("skip_optimizer")

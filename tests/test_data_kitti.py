@@ -165,3 +165,51 @@ def test_ordered_pair_batches(fake_dump):
     # Orthonormal rotations all along.
     RtR = np.einsum("nij,nkj->nik", traj[:, :3, :3], traj[:, :3, :3])
     np.testing.assert_allclose(RtR, np.tile(np.eye(3), (6, 1, 1)), atol=1e-4)
+
+
+def test_with_imgs_and_gamma(fake_dump):
+    """read_what.with_imgs + with_imgs_gamma (kitti_odo_corr.py:240-262):
+    grayscale frames in [0,1] resized to `resize`; gamma = pixel**gamma."""
+    import cv2
+
+    rng_np = np.random.default_rng(0)
+    for scene_i in range(2):
+        scene = fake_dump / f"{scene_i:02d}"
+        for f in range(6):
+            img = rng_np.integers(0, 256, size=(94, 310), dtype=np.uint8)
+            cv2.imwrite(str(scene / f"{f:06d}.png"), img)
+
+    ds = KittiCorrDataset(
+        str(fake_dump), good_num=64, image_size=(94, 310),
+        resize=(47, 155), with_imgs=True, seed=0,
+    )
+    item = ds.get_item(0)
+    assert item["imgs_grey"].shape == (2, 47, 155)
+    assert item["imgs_grey"].dtype == np.float32
+    assert 0.0 <= item["imgs_grey"].min() and item["imgs_grey"].max() <= 1.0
+
+    ds_g = KittiCorrDataset(
+        str(fake_dump), good_num=64, image_size=(94, 310),
+        resize=(47, 155), with_imgs=True, img_gamma=0.3, seed=0,
+    )
+    item_g = ds_g.get_item(0)
+    np.testing.assert_allclose(
+        item_g["imgs_grey"], item["imgs_grey"] ** np.float32(0.3),
+        rtol=1e-5, atol=1e-6,
+    )
+    # Batches carry the images through stacking.
+    batch = next(ds_g.batches(4))
+    assert batch["imgs_grey"].shape == (4, 2, 47, 155)
+
+
+def test_config_maps_read_what_imgs():
+    from deepfepe_tpu.train.config import config_from_dict as config_from_yaml_dict
+
+    raw = {"data": {"dataset": "kitti_odo_corr",
+                    "read_what": {"with_imgs": True, "with_imgs_gamma": 1}}}
+    cfg = config_from_yaml_dict(raw)
+    assert cfg.data.with_imgs is True
+    assert cfg.data.with_imgs_gamma is None  # gamma 1 == no-op
+    raw["data"]["read_what"]["with_imgs_gamma"] = 0.3
+    cfg = config_from_yaml_dict(raw)
+    assert cfg.data.with_imgs_gamma == 0.3
