@@ -227,17 +227,23 @@ class Trainer:
 
     def validate(self, val_stream: Iterable[Dict]) -> Dict:
         accum, count = {}, 0
+        first_sharded = None
         limit = self.cfg.training.val_batches
         for i, batch in enumerate(val_stream):
             if limit >= 0 and i >= limit:
                 break
-            metrics = self.eval_step(self.state.params, shard_batch(self.mesh, batch))
+            sharded = shard_batch(self.mesh, batch)
+            if first_sharded is None:
+                first_sharded = sharded
+            metrics = self.eval_step(self.state.params, sharded)
             for k, v in metrics.items():
                 if np.ndim(v) == 0:
                     accum[k] = accum.get(k, 0.0) + float(np.asarray(v))
             count += 1
         means = {k: v / max(count, 1) for k, v in accum.items()}
         self.logger.log(self.n_iter, "val", means)
+        if self.logger._tb is not None and first_sharded is not None:
+            self._log_val_inspection(first_sharded)
         # Best-checkpoint selection (the reference's model zoo picks specific
         # iterations by val; here it's automatic): keep the lowest val loss.
         key = "loss" if "loss" in means else "loss_F"
@@ -251,6 +257,45 @@ class Trainer:
                     self.state,
                 )
         return means
+
+    def _log_val_inspection(self, sharded_batch: Dict) -> None:
+        """Predicted-weight / residual histograms and a per-item weight
+        strip image for one val batch (the reference's per-layer histogram
+        and weight-heatmap summaries, Train_model_pipeline.py:772-815,
+        998-1035)."""
+        if not hasattr(self, "_inspect_step"):
+            mcfg = self.cfg.model
+
+            @jax.jit
+            def inspect(params, batch):
+                rngs = (
+                    {"sample": jax.random.PRNGKey(0)}
+                    if mcfg.if_sample_loss
+                    else None
+                )
+                outs = self.net.apply(params, batch, rngs=rngs)
+                return {
+                    "weights": outs["weights"],
+                    "epi_res": outs["epi_res_layers"][-1],
+                    "residual": outs["residual_layers"][-1],
+                }
+
+            self._inspect_step = inspect
+        outs = jax.device_get(
+            self._inspect_step(self.state.params, sharded_batch)
+        )
+        n = self.n_iter
+        w = np.asarray(outs["weights"])  # [B, N] softmax weights
+        self.logger.log_histogram(n, "val/weights", w)
+        self.logger.log_histogram(n, "val/epi_res", outs["epi_res"])
+        self.logger.log_histogram(n, "val/residual", outs["residual"])
+        # Weight strip: rows = batch items, columns = points sorted by
+        # weight, intensity normalized per item — shows how peaked the
+        # correspondence weighting is at a glance.
+        w2 = w.reshape(w.shape[0], -1)
+        strip = np.sort(w2, axis=1)[:, ::-1]
+        strip = strip / (strip.max(axis=1, keepdims=True) + 1e-12)
+        self.logger.log_image(n, "val/weights_strip", strip.astype(np.float32))
 
     def save(self, n_iter: int) -> str:
         path = os.path.join(

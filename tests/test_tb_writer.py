@@ -134,3 +134,34 @@ def test_trainer_writes_tb(tmp_path):
     assert scalars[(0, "train/loss")] == 2.0
     assert scalars[(0, "train/loss_F")] == 1.0
     assert scalars[(1, "val/err_q")] == 0.5
+
+
+def test_validate_logs_histograms_and_strip(tmp_path):
+    """Trainer.validate emits weight/residual histograms + a weight-strip
+    image to the TB sink (ref: Train_model_pipeline.py:772-815, 998-1035)."""
+    import jax
+    from deepfepe_tpu.data import SyntheticPairs
+    from deepfepe_tpu.models import DeepFNet
+    from deepfepe_tpu.train import Config, Trainer
+
+    cfg = Config()
+    cfg.model.if_quality = True
+    cfg.training.val_batches = 1
+    net = DeepFNet(depth=2, image_size=(376, 1241), if_quality=True)
+    trainer = Trainer(net, cfg, save_dir=str(tmp_path / "run"))
+    gen = SyntheticPairs(good_num=64, seed=0)
+    trainer.init_state(gen.batch(8))
+    trainer.validate([gen.batch(8)])
+    trainer.logger.close()
+
+    files = glob.glob(str(tmp_path / "run" / "runs" / "events.out.tfevents.*"))
+    assert len(files) == 1
+    kinds = {
+        (v.tag, v.WhichOneof("value"))
+        for e in _load_events(files[0])
+        for v in e.summary.value
+    }
+    assert ("val/weights", "histo") in kinds
+    assert ("val/epi_res", "histo") in kinds
+    assert ("val/residual", "histo") in kinds
+    assert ("val/weights_strip", "image") in kinds
