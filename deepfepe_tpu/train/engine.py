@@ -135,6 +135,25 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
+        # NaN guard (ref: the NaN-loss pause at train_good_utils.py:986-987
+        # and set_nan2zero scrubbing, model_utils.py:5): a non-finite loss or
+        # gradient skips the whole update — params and optimizer state keep
+        # their previous values — instead of poisoning the run. jit-safe
+        # (jnp.where, no host sync); surfaced as the 'nonfinite' metric.
+        grads_ok = jnp.all(
+            jnp.stack(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+            )
+        )
+        ok = jnp.isfinite(loss) & grads_ok
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_params, state.params
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), opt_state, state.opt_state
+        )
+        metrics["nonfinite"] = (~ok).astype(jnp.float32)
+
         if cfg.training.skip_optimizer_enable:
             # Skip the update when the batch is already "solved"
             # (Train_model_pipeline.py:598-639): loss_min below epi_min.
