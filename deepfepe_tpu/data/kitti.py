@@ -77,6 +77,8 @@ class KittiCorrDataset:
         virtual_iters: int = 8,
         with_imgs: bool = False,
         img_gamma: Optional[float] = None,
+        with_matches_all: bool = False,
+        all_num: int = 2000,
     ):
         self.root = Path(dump_root)
         self.delta_ij = delta_ij
@@ -91,6 +93,11 @@ class KittiCorrDataset:
         # perturbation (robustness studies, kitti_corr_baselineEval.yaml:23).
         self.with_imgs = with_imgs
         self.img_gamma = img_gamma
+        # matches_all: the un-ratio-tested match set padded to all_num=2000
+        # (kitti_odo_corr.py:452-480) — used by frontend evals and the
+        # matches_all ablations.
+        self.with_matches_all = with_matches_all
+        self.all_num = all_num
         self.zoom_xy = (
             self.resize[1] / image_size[1],
             self.resize[0] / image_size[0],
@@ -170,6 +177,19 @@ class KittiCorrDataset:
 
         rel_inv = np.linalg.inv(rel)
         extra = {}
+        if self.with_matches_all:
+            ma = np.load(
+                s["scene"] / f"ij_match_quality_{s['i']}-{s['j']}_all.npy"
+            ).astype(np.float32)[:, :4]
+            ma[:, 0] *= zx
+            ma[:, 1] *= zy
+            ma[:, 2] *= zx
+            ma[:, 3] *= zy
+            choice_all = crop_or_pad_choice(len(ma), self.all_num, self.rng)
+            extra["matches_all"] = ma[choice_all]
+            extra["matches_all_unique_nums"] = np.int32(
+                np.unique(ma, axis=0).shape[0]
+            )
         if self.with_imgs:
             extra["imgs_grey"] = np.stack(
                 [self._load_grey(s["scene"], s["i"]),

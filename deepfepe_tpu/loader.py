@@ -49,6 +49,8 @@ def data_loader(cfg: Config, task: str = "train"):
             seed=cfg.training.seed,
             with_imgs=d.with_imgs,
             img_gamma=d.with_imgs_gamma,
+            with_matches_all=d.with_matches_all,
+            all_num=d.all_num,
         )
     raise ValueError(f"unknown dataset {d.dataset!r}")
 

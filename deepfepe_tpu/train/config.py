@@ -32,6 +32,9 @@ class DataConfig:
     # (robustness studies, kitti_corr_baselineEval.yaml:22-23).
     with_imgs: bool = False
     with_imgs_gamma: Optional[float] = None
+    # The un-ratio-tested 2000-match set (kitti_odo_corr.py:452-480).
+    with_matches_all: bool = False
+    all_num: int = 2000
     # Per-task scene lists for dump datasets (ref: per-task {train,val}.txt
     # frame lists + eval configs pinning seqs 09/10, kitti_odo_corr.py:100).
     # None -> crawl every scene directory under dump_root.
@@ -142,6 +145,9 @@ def config_from_dict(raw: dict) -> Config:
         data_raw.setdefault("with_quality", rw.get("with_quality", True))
         data_raw.setdefault("with_pose", rw.get("with_pose", True))
         data_raw.setdefault("with_imgs", rw.get("with_imgs", False))
+        data_raw.setdefault(
+            "with_matches_all", rw.get("with_matches_all", False)
+        )
         gamma = rw.get("with_imgs_gamma")
         # The reference treats gamma 1 as a no-op perturbation.
         data_raw.setdefault(

@@ -213,3 +213,27 @@ def test_config_maps_read_what_imgs():
     raw["data"]["read_what"]["with_imgs_gamma"] = 0.3
     cfg = config_from_yaml_dict(raw)
     assert cfg.data.with_imgs_gamma == 0.3
+
+
+def test_with_matches_all(fake_dump):
+    """matches_all: un-ratio-tested set padded to all_num with a unique
+    count (kitti_odo_corr.py:452-480)."""
+    ds = KittiCorrDataset(
+        str(fake_dump), good_num=64, image_size=(376, 1241),
+        with_matches_all=True, all_num=200, seed=0,
+    )
+    item = ds.get_item(0)
+    assert item["matches_all"].shape == (200, 4)
+    assert 0 < int(item["matches_all_unique_nums"]) <= 200
+    batch = next(ds.batches(4))
+    assert batch["matches_all"].shape == (4, 200, 4)
+    # All padded rows are drawn from the on-disk match set.
+    raw = np.load(
+        list(fake_dump.glob("0*/ij_match_quality_0-1_all.npy"))[0]
+    )[:, :4]
+    first = ds.samples[0]
+    raw0 = np.load(
+        first["scene"] / "ij_match_quality_0-1_all.npy"
+    )[:, :4].astype(np.float32)
+    d = np.abs(item["matches_all"][:, None, :] - raw0[None, :, :]).sum(-1)
+    assert np.all(d.min(axis=1) < 1e-4)
