@@ -138,13 +138,23 @@ def dump_sequence(
             def build(ratio):
                 idx, q = knn_match(d1, d2, ratio)
                 if len(idx) == 0:
-                    return np.zeros((0, 6), np.float32)
-                return np.concatenate(
+                    return np.zeros((0, 6), np.float32), np.zeros(
+                        (0, 2), np.int32
+                    )
+                mat = np.concatenate(
                     [p1[idx[:, 0]], p2[idx[:, 1]], q], 1
                 ).astype(np.float32)
+                return mat, idx.astype(np.int32)
 
-            np.save(out / f"ij_match_quality_{i}-{j}_all.npy", build(0.9))
-            np.save(out / f"ij_match_quality_{i}-{j}_good.npy", build(0.8))
+            mat_all, idx_all = build(0.9)
+            mat_good, idx_good = build(0.8)
+            np.save(out / f"ij_match_quality_{i}-{j}_all.npy", mat_all)
+            np.save(out / f"ij_match_quality_{i}-{j}_good.npy", mat_good)
+            # Match indices into the per-frame sift_%06d.npy rows: lets the
+            # loader assemble per-match descriptor pairs (des_good) for the
+            # if_des fusion variants (kitti_odo_corr.py:513-521).
+            np.save(out / f"ij_idx_{i}-{j}_all.npy", idx_all)
+            np.save(out / f"ij_idx_{i}-{j}_good.npy", idx_good)
 
 
 def dump_kitti_odometry(

@@ -79,6 +79,7 @@ class KittiCorrDataset:
         img_gamma: Optional[float] = None,
         with_matches_all: bool = False,
         all_num: int = 2000,
+        with_sift_des: bool = False,
     ):
         self.root = Path(dump_root)
         self.delta_ij = delta_ij
@@ -98,6 +99,10 @@ class KittiCorrDataset:
         # matches_all ablations.
         self.with_matches_all = with_matches_all
         self.all_num = all_num
+        # des_good [good_num, 256]: per-match SIFT descriptor pairs gathered
+        # from sift_%06d.npy via ij_idx files (kitti_odo_corr.py:513-521),
+        # for the if_des descriptor-fusion model variants.
+        self.with_sift_des = with_sift_des
         self.zoom_xy = (
             self.resize[1] / image_size[1],
             self.resize[0] / image_size[0],
@@ -190,6 +195,20 @@ class KittiCorrDataset:
             extra["matches_all_unique_nums"] = np.int32(
                 np.unique(ma, axis=0).shape[0]
             )
+        if self.with_sift_des:
+            idx = np.load(
+                s["scene"] / f"ij_idx_{s['i']}-{s['j']}_good.npy"
+            )
+            s1 = np.load(s["scene"] / f"sift_{s['i']:06d}.npy")
+            s2 = np.load(s["scene"] / f"sift_{s['j']:06d}.npy")
+            des = np.concatenate(
+                [s1[idx[:, 0], 2:], s2[idx[:, 1], 2:]], 1
+            ).astype(np.float32)
+            extra["des_good"] = des[choice]  # same pad choice as matches
+            # The engine feeds the model's descriptor-fusion input under
+            # 'des' (the reference builds data_batch['des'] from des_good,
+            # Train_model_pipeline.py:433-446).
+            extra["des"] = extra["des_good"]
         if self.with_imgs:
             extra["imgs_grey"] = np.stack(
                 [self._load_grey(s["scene"], s["i"]),

@@ -51,6 +51,7 @@ def data_loader(cfg: Config, task: str = "train"):
             img_gamma=d.with_imgs_gamma,
             with_matches_all=d.with_matches_all,
             all_num=d.all_num,
+            with_sift_des=d.with_sift_des,
         )
     raise ValueError(f"unknown dataset {d.dataset!r}")
 

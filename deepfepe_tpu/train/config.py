@@ -35,6 +35,9 @@ class DataConfig:
     # The un-ratio-tested 2000-match set (kitti_odo_corr.py:452-480).
     with_matches_all: bool = False
     all_num: int = 2000
+    # Per-match SIFT descriptor pairs for the if_des fusion variants
+    # (read_what.with_sift_des, kitti_odo_corr.py:513-521).
+    with_sift_des: bool = False
     # Per-task scene lists for dump datasets (ref: per-task {train,val}.txt
     # frame lists + eval configs pinning seqs 09/10, kitti_odo_corr.py:100).
     # None -> crawl every scene directory under dump_root.
@@ -147,6 +150,9 @@ def config_from_dict(raw: dict) -> Config:
         data_raw.setdefault("with_imgs", rw.get("with_imgs", False))
         data_raw.setdefault(
             "with_matches_all", rw.get("with_matches_all", False)
+        )
+        data_raw.setdefault(
+            "with_sift_des", rw.get("with_sift_des", False)
         )
         gamma = rw.get("with_imgs_gamma")
         # The reference treats gamma 1 as a no-op perturbation.

@@ -175,3 +175,48 @@ def test_image_sequence_delta_pairs():
     E /= np.linalg.norm(E)
     E_emit /= np.linalg.norm(E_emit)
     assert min(np.linalg.norm(E - E_emit), np.linalg.norm(E + E_emit)) < 1e-5
+
+
+def test_dump_sift_des_roundtrip(tmp_path, rng):
+    """with_sift_des: des_good gathers the right per-match descriptor rows
+    (ij_idx files written by the dump creator; kitti_odo_corr.py:513-521)."""
+    from deepfepe_tpu.data.dump_kitti import dump_sequence
+
+    ds = SyntheticImagePairs(image_size=(120, 160), seed=2,
+                             max_angle_deg=1.0, t_scale=0.08)
+    item = ds._sample_item()
+    im1, im2 = item["imgs_grey"]
+    poses = [np.eye(4), item["delta_Rtijs_4_4"].astype(np.float64)]
+    cam2world = [np.linalg.inv(p)[:3] for p in poses]
+    img_files = []
+    for i, im in enumerate([im1, im2]):
+        f = tmp_path / f"{i:06d}.jpg"
+        cv2.imwrite(str(f), (im * 255).astype(np.uint8))
+        img_files.append(str(f))
+    scene = tmp_path / "00"
+    dump_sequence(img_files, np.stack(cam2world), ds.K, str(scene))
+
+    idx = np.load(scene / "ij_idx_0-1_good.npy")
+    mat = np.load(scene / "ij_match_quality_0-1_good.npy")
+    s0 = np.load(scene / "sift_000000.npy")
+    s1 = np.load(scene / "sift_000001.npy")
+    assert idx.shape == (len(mat), 2)
+    # idx points at the keypoints the match coordinates came from.
+    np.testing.assert_allclose(s0[idx[:, 0], :2], mat[:, :2], atol=1e-4)
+    np.testing.assert_allclose(s1[idx[:, 1], :2], mat[:, 2:4], atol=1e-4)
+
+    loader = KittiCorrDataset(
+        str(tmp_path), good_num=48, image_size=(120, 160),
+        with_sift_des=True, seed=0,
+    )
+    item = loader.get_item(0)
+    assert item["des_good"].shape == (48, 256)
+    # Each padded row's descriptor matches its coordinates' source rows.
+    m = item["matches_xy_ori"]
+    for r in range(0, 48, 7):
+        src = np.where(np.abs(s0[:, :2] - m[r, :2]).sum(1) < 1e-3)[0]
+        assert len(src) >= 1
+        assert any(
+            np.allclose(item["des_good"][r, :128], s0[si, 2:130])
+            for si in src
+        )
