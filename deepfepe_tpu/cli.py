@@ -334,8 +334,18 @@ def cmd_val_feature(args):
     if args.pretrained:
         from flax import serialization
 
-        with open(args.pretrained, "rb") as f:
-            params = serialization.from_bytes(params, f.read())
+        if args.pretrained.endswith((".pth", ".pth.tar")):
+            # Reference/magicleap SuperPoint torch checkpoints
+            # (utils/torch_import.py).
+            from .utils.torch_import import load_reference_checkpoint
+
+            variables, _ = load_reference_checkpoint(
+                args.pretrained, kind="superpoint"
+            )
+            params = serialization.from_state_dict(params, variables)
+        else:
+            with open(args.pretrained, "rb") as f:
+                params = serialization.from_bytes(params, f.read())
 
     accum = {}
     n_batches = args.max_batches or 5
