@@ -323,11 +323,32 @@ def cmd_val_feature(args):
 
     save_dir = os.path.join("logs", args.exper_name)
     os.makedirs(save_dir, exist_ok=True)
-    ds = SyntheticImagePairs(seed=0)
+    if getattr(args, "config", ""):
+        # Real-data path (evaluation_epiDist.py evaluates the dataset's
+        # image pairs against the gt F): dump loader with images on.
+        from .loader import data_loader
+        from .train.config import load_config
+
+        cfg = load_config(args.config)
+        cfg.data.with_imgs = True
+        ds = data_loader(cfg, task="test")
+
+        def batch_iter():
+            for b in ds.batches(cfg.data.batch_size, shuffle=False,
+                                drop_last=False):
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+    else:
+        gen = SyntheticImagePairs(seed=0)
+
+        def batch_iter():
+            while True:
+                yield {k: jnp.asarray(v) for k, v in gen.batch(2).items()}
+
+    stream = batch_iter()
     sp_net = SuperPointNet()
     fp = FrontendParams(out_num_points=300, conf_thresh=1e-3)
 
-    batch = {k: jnp.asarray(v) for k, v in ds.batch(2).items()}
+    batch = next(stream)
     params = sp_net.init(
         jax.random.PRNGKey(0), batch["imgs_grey"][:, 0][..., None]
     )
@@ -349,8 +370,8 @@ def cmd_val_feature(args):
 
     accum = {}
     n_batches = args.max_batches or 5
-    for i in range(n_batches):
-        batch = {k: jnp.asarray(v) for k, v in ds.batch(2).items()}
+    i = 0
+    while batch is not None and i < n_batches:
         out = frontend_epidist_eval(
             sp_net, params,
             (batch["imgs_grey"][:, 0], batch["imgs_grey"][:, 1]),
@@ -362,6 +383,8 @@ def cmd_val_feature(args):
         for k, v in out.items():
             if k.startswith("ratio") or k == "num_matches":
                 accum.setdefault(k, []).append(np.mean(np.asarray(v)))
+        i += 1
+        batch = next(stream, None)
     summary = {k: float(np.mean(v)) for k, v in accum.items()}
     np.savez(Path(save_dir) / "result_dict_all.npz", **summary)
     print(json.dumps(summary))
@@ -373,6 +396,9 @@ def main(argv=None):
     sub = p.add_subparsers(dest="command", required=True)
     sp = sub.add_parser("val_feature")
     sp.add_argument("exper_name")
+    sp.add_argument("--config", default="",
+                    help="eval a dump dataset (read_what.with_imgs forced) "
+                         "instead of the synthetic generator")
     sp.add_argument("--pretrained", default="")
     sp.add_argument("--max_batches", type=int, default=0)
     sp.add_argument("--rand_noise", type=float, default=0.0)
