@@ -224,6 +224,11 @@ class KittiCorrDataset:
             "F_gts": (F / (np.linalg.norm(F) + 1e-20)).astype(np.float32),
             "q_cam": _R_to_q_np(rel_inv[:3, :3]).astype(np.float32),
             "t_cam": rel_inv[:3, 3].astype(np.float32),
+            # Forward (non-inverted) relative pose labels + frame metadata
+            # (q_scene/t_scene/frame_ids, kitti_odo_corr.py:551-560).
+            "q_scene": _R_to_q_np(rel[:3, :3]).astype(np.float32),
+            "t_scene": rel[:3, 3].astype(np.float32),
+            "frame_ids": np.array([s["i"], s["j"]], np.int32),
             "delta_Rtijs_4_4": rel.astype(np.float32),
             "matches_good_unique_nums": np.int32(unique_num),
             "t_scene_scale": np.float32(np.linalg.norm(t)),

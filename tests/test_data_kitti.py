@@ -237,3 +237,23 @@ def test_with_matches_all(fake_dump):
     )[:, :4].astype(np.float32)
     d = np.abs(item["matches_all"][:, None, :] - raw0[None, :, :]).sum(-1)
     assert np.all(d.min(axis=1) < 1e-4)
+
+
+def test_q_scene_t_scene_and_frame_ids(fake_dump):
+    """q_scene/t_scene are the forward relative pose; q_cam/t_cam the
+    inverse (kitti_odo_corr.py:547-560)."""
+    from deepfepe_tpu.geometry import q_to_R
+
+    ds = KittiCorrDataset(
+        str(fake_dump), good_num=64, image_size=(376, 1241), seed=0
+    )
+    item = ds.get_item(0)
+    assert list(item["frame_ids"]) == [0, 1]
+    rel = item["delta_Rtijs_4_4"].astype(np.float64)
+    R_scene = np.asarray(q_to_R(jnp.asarray(item["q_scene"])))
+    np.testing.assert_allclose(R_scene, rel[:3, :3], atol=1e-5)
+    np.testing.assert_allclose(item["t_scene"], rel[:3, 3], atol=1e-5)
+    R_cam = np.asarray(q_to_R(jnp.asarray(item["q_cam"])))
+    rel_inv = np.linalg.inv(rel)
+    np.testing.assert_allclose(R_cam, rel_inv[:3, :3], atol=1e-5)
+    np.testing.assert_allclose(item["t_cam"], rel_inv[:3, 3], atol=1e-5)
