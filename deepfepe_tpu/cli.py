@@ -93,7 +93,8 @@ def cmd_eval(args):
 
     results = {"err_q": [], "err_t": [], "err_q_base": [], "err_t_base": [],
                "err_q_gt": [], "err_t_gt": [], "M_cam_est": [],
-               "M_cam_base": []}
+               "M_cam_base": [], "epi_dists_est": [], "epi_dists_base": [],
+               "Rt_cam2_gt": []}
     key = jax.random.PRNGKey(0)
     count = 0
     for batch in val_ds.batches(bs):
@@ -119,19 +120,42 @@ def cmd_eval(args):
         results["err_t_gt"].append(np.asarray(rt["err_t_gt"]))
         results["M_cam_est"].append(np.asarray(rt["M_cam_est"]))
         results["M_cam_base"].append(np.asarray(rt["M_cam_base"]))
+        results["epi_dists_est"].append(np.asarray(rt["epi_dists_est"]))
+        results["epi_dists_base"].append(np.asarray(rt["epi_dists_base"]))
+        b = metrics["E_ests"].shape[0]
+        results["Rt_cam2_gt"].append(
+            np.asarray(sharded["Rt_cam2_gt"])
+            if "Rt_cam2_gt" in sharded
+            else np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+        )
         count += 1
 
     out = {k: np.concatenate(v) for k, v in results.items() if v}
-    # npz dumps named as the reference does ({our,base}_name + filename).
+
+    def to_body(M_cam, Rt2):
+        """Camera-frame -> body-frame relative pose: inv(Rt_cam2_gt) @ M @
+        Rt_cam2_gt (Train_model_pipeline.py:1098-1119), [B, 3, 4] in/out."""
+        pad = np.tile(np.array([[[0.0, 0, 0, 1]]]), (len(M_cam), 1, 1))
+        M44 = np.concatenate([M_cam, pad], axis=1)
+        body = np.linalg.inv(Rt2) @ M44 @ Rt2
+        return body[:, :3, :]
+
+    # npz dumps named as the reference does ({our,base}_name + filename),
+    # with the reference's key set: err_q/err_t, epi_dists (first 10 pts),
+    # relative_poses_cam and relative_poses_body.
     np.savez(
         Path(save_dir) / f"{cfg.exps.our_name}_{cfg.exps.filename}",
         err_q=out["err_q"], err_t=out["err_t"],
+        epi_dists=out["epi_dists_est"][:, :10],
         relative_poses_cam=out["M_cam_est"],
+        relative_poses_body=to_body(out["M_cam_est"], out["Rt_cam2_gt"]),
     )
     np.savez(
         Path(save_dir) / f"{cfg.exps.base_name}_{cfg.exps.filename}",
         err_q=out["err_q_base"], err_t=out["err_t_base"],
+        epi_dists=out["epi_dists_base"][:, :10],
         relative_poses_cam=out["M_cam_base"],
+        relative_poses_body=to_body(out["M_cam_base"], out["Rt_cam2_gt"]),
     )
     summary = {
         "median_err_q": float(np.median(out["err_q"])),
