@@ -400,3 +400,84 @@ def test_exp_table_from_config(tmp_path, rng):
     assert tp.highlights("err_q_median") == "d.k"
     t = tp.table()
     assert t["s.k"]["err_q_median"] > t["d.k"]["err_q_median"]
+
+
+def test_eval_good_npz_body_frame_conjugation(tmp_path, monkeypatch):
+    """eval_good npz dumps: relative_poses_body must equal
+    inv(Rt_cam2_gt) @ M_cam @ Rt_cam2_gt for a non-identity Rt_cam2_gt
+    (Train_model_pipeline.py:1098-1119)."""
+    import cv2  # noqa: F401  (dump tooling dependency)
+    import yaml
+
+    from deepfepe_tpu.cli import main
+    from deepfepe_tpu.data import SyntheticPairs
+
+    # Non-identity cam0->cam2 transform: small rotation + lateral offset.
+    th = 0.1
+    Rt2 = np.eye(4)
+    Rt2[:3, :3] = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    Rt2[:3, 3] = [0.06, 0.0, 0.0]
+
+    H, W, f = 94, 310, 180.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], np.float32)
+    gen = SyntheticPairs(image_size=(H, W), good_num=300, noise_px=0.0,
+                         outlier_frac=0.0, seed=5)
+    scene = tmp_path / "00"
+    scene.mkdir()
+    np.save(scene / "cam.npy", K)
+    np.save(scene / "Rt_cam2_gt.npy", Rt2)
+    poses = [np.eye(4)]
+    for _ in range(9):
+        R, tv = gen._sample_pose()
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3] = R, tv
+        poses.append(poses[-1] @ np.linalg.inv(T))
+    poses34 = np.stack([p[:3] for p in poses]).astype(np.float32)
+    np.save(scene / "poses.npy", poses34)
+    for i in range(9):
+        j = i + 1
+        rel = np.linalg.inv(np.vstack([poses34[j], [0, 0, 0, 1]])) @ (
+            np.vstack([poses34[i], [0, 0, 0, 1]])
+        )
+        # matches must live in the cam2 frame the loader labels with.
+        rel_c2 = Rt2 @ rel @ np.linalg.inv(Rt2)
+        R, tv = rel_c2[:3, :3], rel_c2[:3, 3]
+        n = 160
+        X1 = np.stack([gen.rng.uniform(-15, 15, n),
+                       gen.rng.uniform(-4, 2, n),
+                       gen.rng.uniform(6, 50, n)], -1)
+        X2 = X1 @ R.T + tv
+        ok = (X1[:, 2] > 1) & (X2[:, 2] > 1)
+        x1 = (X1[ok] / X1[ok, 2:3]) @ K.T
+        x2 = (X2[ok] / X2[ok, 2:3]) @ K.T
+        m = np.concatenate(
+            [x1[:, :2], x2[:, :2], np.ones((ok.sum(), 1)) * 150.0], -1
+        ).astype(np.float32)
+        np.save(scene / f"ij_match_quality_{i}-{j}_all.npy", m)
+        np.save(scene / f"ij_match_quality_{i}-{j}_good.npy", m)
+
+    cfg = {
+        "data": {"dataset": "kitti_odo_corr", "dump_root": str(tmp_path),
+                 "good_num": 128, "batch_size": 8,
+                 "image": {"size": [H, W]},
+                 "preprocessing": {"resize": [H, W]},
+                 "train_scenes": ["00"], "val_scenes": ["00"],
+                 "test_scenes": ["00"]},
+        "model": {"depth": 2},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    monkeypatch.chdir(tmp_path)
+    main(["eval_good", str(cfg_path), "expbody", "--max_batches", "1"])
+
+    d = np.load(tmp_path / "logs" / "expbody" / "DeepF_err_ratio.npz")
+    M = d["relative_poses_cam"]
+    body = d["relative_poses_body"]
+    pad = np.tile(np.array([[[0.0, 0, 0, 1]]]), (len(M), 1, 1))
+    want = (np.linalg.inv(Rt2)[None] @ np.concatenate([M, pad], 1)
+            @ Rt2[None])[:, :3]
+    np.testing.assert_allclose(body, want, atol=1e-5)
+    # And it is genuinely different from the cam-frame pose.
+    assert np.abs(body - M).max() > 1e-3
