@@ -116,6 +116,10 @@ class TrainingConfig:
     # skip-optimizer quirk (Train_model_pipeline.py:598-639)
     skip_optimizer_enable: bool = False
     skip_optimizer_epi_min: float = 0.001
+    # Joint-step match-count floor (check_num_of_matches thd=100,
+    # Train_model_pipeline.py:113-115). 0 disables (default: the synthetic
+    # recipes tolerate sparse early frontends).
+    min_matches: float = 0.0
 
 
 @dataclass

@@ -97,14 +97,40 @@ def make_joint_train_step(
         metrics["g_deepf_norm"] = optax.global_norm(g_deepf)
         metrics["g_sp_norm"] = optax.global_norm(g_sp)
 
+        # Update guard (jit-safe): skip the whole update when the loss or a
+        # gradient is non-finite, or when the frontend produced too few
+        # matches for a stable fit — the reference's check_num_of_matches
+        # thd=100 batch skip (Train_model_pipeline.py:113-115) and NaN-loss
+        # pause (train_good_utils.py:986-987) combined.
+        min_matches = float(getattr(cfg.training, "min_matches", 0))
+        enough = metrics["num_matches"] >= min_matches
+        finite = (
+            jnp.isfinite(loss)
+            & jnp.isfinite(metrics["g_deepf_norm"])
+            & jnp.isfinite(metrics["g_sp_norm"])
+        )
+        ok = finite & enough
+        metrics["skipped_update"] = (~ok).astype(jnp.float32)
+
+        def _guard(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old
+            )
+
         deepf_params, deepf_opt = state.deepf_params, state.deepf_opt
         if train_deepf:
-            upd, deepf_opt = tx_deepf.update(g_deepf, deepf_opt, deepf_params)
-            deepf_params = optax.apply_updates(deepf_params, upd)
+            upd, new_opt = tx_deepf.update(g_deepf, deepf_opt, deepf_params)
+            deepf_params = _guard(
+                optax.apply_updates(deepf_params, upd), deepf_params
+            )
+            deepf_opt = _guard(new_opt, deepf_opt)
         sp_params, sp_opt = state.sp_params, state.sp_opt
         if train_sp:
-            upd, sp_opt = tx_sp.update(g_sp, sp_opt, sp_params)
-            sp_params = optax.apply_updates(sp_params, upd)
+            upd, new_opt = tx_sp.update(g_sp, sp_opt, sp_params)
+            sp_params = _guard(
+                optax.apply_updates(sp_params, upd), sp_params
+            )
+            sp_opt = _guard(new_opt, sp_opt)
 
         new_state = state.replace(
             deepf_params=deepf_params,

@@ -165,3 +165,56 @@ def test_joint_freeze_flags():
     la = before_sp
     lb = jax.tree_util.tree_leaves(jax.device_get(state2.sp_params))
     assert all(np.array_equal(x, y) for x, y in zip(la, lb))
+
+def test_joint_min_matches_guard():
+    """min_matches floor (check_num_of_matches thd, Train_model_pipeline.py
+    :113-115): an impossible floor freezes both nets; floor 0 trains."""
+    cfg = Config()
+    cfg.model.depth = 2
+    cfg.training.min_matches = 1e9  # impossible floor
+    ds = SyntheticImagePairs(image_size=(64, 80), seed=0)
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(2).items()}
+    deepf_net = DeepFNet(depth=2, image_size=(64, 80))
+    sp_net = SuperPointNet()
+    fp = FrontendParams(out_num_points=64, conf_thresh=1e-3)
+    sp_params = sp_net.init(
+        jax.random.PRNGKey(0), batch["imgs_grey"][:, 0][..., None]
+    )
+    from deepfepe_tpu.frontend import get_matches_from_sp
+
+    sp_out = get_matches_from_sp(
+        sp_net, sp_params,
+        (batch["imgs_grey"][:, 0], batch["imgs_grey"][:, 1]), fp,
+    )
+    db = dict(batch)
+    db["matches_xy_ori"] = sp_out["matches_xy_ori"]
+    db["quality"] = sp_out["quality"]
+    db["matches_good_unique_nums"] = jnp.sum(sp_out["valid"], axis=-1)
+    deepf_params = deepf_net.init(jax.random.PRNGKey(1), db)
+    tx = optax.adam(1e-3)
+
+    before = jax.device_get(deepf_params)
+    state = JointTrainState.create(deepf_params, sp_params, tx, tx)
+    step = make_joint_train_step(deepf_net, sp_net, fp, tx, tx, cfg)
+    new_state, m = step(state, batch, 0.1, 0.5)
+    assert float(m["skipped_update"]) == 1.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(before),
+        jax.tree_util.tree_leaves(jax.device_get(new_state.deepf_params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg.training.min_matches = 0.0
+    step0 = make_joint_train_step(deepf_net, sp_net, fp, tx, tx, cfg)
+    new_state0, m0 = step0(new_state, batch, 0.1, 0.5)
+    assert float(m0["skipped_update"]) == 0.0
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before),
+            jax.tree_util.tree_leaves(
+                jax.device_get(new_state0.deepf_params)
+            ),
+        )
+    )
+    assert moved
