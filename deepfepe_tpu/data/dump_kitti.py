@@ -114,11 +114,15 @@ def dump_sequence(
     )
 
     greys = []
-    for f in image_files:
+    for i, f in enumerate(image_files):
         img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
         if img is None:
             raise IOError(f"cannot read {f}")
         greys.append(img)
+        # Reference dump trees keep the frames in-scene so with_imgs-driven
+        # paths (val_feature --config, joint SP training) can load them;
+        # KittiCorrDataset._load_grey expects scene/%06d.{jpg,png}.
+        cv2.imwrite(str(out / f"{i:06d}.jpg"), img)
 
     feats = [sift_detect(g, n_features) for g in greys]
     for i in range(len(greys)):
@@ -153,8 +157,10 @@ def dump_sequence(
             # Match indices into the per-frame sift_%06d.npy rows: lets the
             # loader assemble per-match descriptor pairs (des_good) for the
             # if_des fusion variants (kitti_odo_corr.py:513-521).
-            np.save(out / f"ij_idx_{i}-{j}_all.npy", idx_all)
-            np.save(out / f"ij_idx_{i}-{j}_good.npy", idx_good)
+            # Reference _ij suffix (kitti_odo_corr.py:344); the loader also
+            # probes the legacy _all/_good names from earlier dumps.
+            np.save(out / f"ij_idx_{i}-{j}_all_ij.npy", idx_all)
+            np.save(out / f"ij_idx_{i}-{j}_good_ij.npy", idx_good)
 
 
 def dump_kitti_odometry(

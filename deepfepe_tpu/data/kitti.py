@@ -196,9 +196,16 @@ class KittiCorrDataset:
                 np.unique(ma, axis=0).shape[0]
             )
         if self.with_sift_des:
-            idx = np.load(
-                s["scene"] / f"ij_idx_{s['i']}-{s['j']}_good.npy"
-            )
+            # Reference dump trees name these ij_idx_{i}-{j}_good_ij.npy
+            # (kitti_odo_corr.py:344); earlier dumps from our dump_kitti.py
+            # used a _good.npy suffix — probe both.
+            stem = s["scene"] / f"ij_idx_{s['i']}-{s['j']}"
+            for cand in (f"{stem}_good_ij.npy", f"{stem}_good.npy"):
+                if Path(cand).exists():
+                    idx = np.load(cand)
+                    break
+            else:
+                raise FileNotFoundError(f"{stem}_good_ij.npy")
             s1 = np.load(s["scene"] / f"sift_{s['i']:06d}.npy")
             s2 = np.load(s["scene"] / f"sift_{s['j']:06d}.npy")
             des = np.concatenate(

@@ -74,6 +74,10 @@ class DeepFNet(nn.Module):
     # Legacy global-context weight net (ref: if_goodCorresArch,
     # DeepFNet.py:335-338 -> GoodCorresNet).
     if_goodCorresArch: bool = False
+    # Fix the 8-point null-vector sign (see ops.weighted_eight_point):
+    # makes the recurrence reproducible across eigensolver backends and is
+    # required for bit-parity checks vs the torch reference.
+    sign_canonical: bool = False
 
     def setup(self):
         q = self.quality_size if self.if_quality else 0
@@ -168,7 +172,8 @@ class DeepFNet(nn.Module):
 
         for _ in range(self.depth - 1):
             fit = weighted_eight_point(
-                pts1, pts2, weights, normalize_svd=self.normalize_svd
+                pts1, pts2, weights, normalize_svd=self.normalize_svd,
+                sign_canonical=self.sign_canonical,
             )
             out_layers.append(fit.F)
             residual_layers.append(fit.residual)
@@ -205,7 +210,8 @@ class DeepFNet(nn.Module):
             logits_layers.append(logits)
 
         fit = weighted_eight_point(
-            pts1, pts2, weights, normalize_svd=self.normalize_svd
+            pts1, pts2, weights, normalize_svd=self.normalize_svd,
+            sign_canonical=self.sign_canonical,
         )
         out_layers.append(fit.F)
         residual_layers.append(fit.residual)

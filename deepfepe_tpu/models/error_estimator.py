@@ -145,18 +145,21 @@ class ErrorEstimator(nn.Module):
             )
             return out[..., : self.output_size]
 
+        # Normalization statistics and output logits in (at least) f32 for
+        # stability; f64 passes through untouched (used by the
+        # reference-parity tests, tests/test_reference_parity.py).
+        acc = jnp.promote_types(self.dtype, jnp.float32)
         x = x.astype(self.dtype)
         for f in self.features:
             x = nn.Dense(f, use_bias=True, dtype=self.dtype)(x)
             if self.if_bn:
                 x = nn.BatchNorm(use_running_average=not train, axis=-1)(x)
-            # Normalization statistics in f32 for stability.
-            x = InstanceNorm1d(f)(x.astype(jnp.float32)).astype(self.dtype)
+            x = InstanceNorm1d(f)(x.astype(acc)).astype(self.dtype)
             x = nn.leaky_relu(x, negative_slope=self.negative_slope)
         # Final projection: bias matches the reference (bias=False only in the
         # BatchNorm variant, ErrorEstimators.py:46 vs :66).
         x = nn.Dense(self.output_size, use_bias=not self.if_bn, dtype=self.dtype)(x)
-        return x.astype(jnp.float32)
+        return x.astype(acc)
 
 
 class ErrorEstimatorFeatFusion(nn.Module):

@@ -46,11 +46,20 @@ def weighted_eight_point(
     weighted_normalization: bool = False,
     gap_eps: float = DEFAULT_GAP_EPS,
     eps: float = 1e-10,
+    sign_canonical: bool = False,
 ) -> FitResult:
     """Solve for F from homogeneous points [..., N, 3] and weights [..., N].
 
     The F convention is x2ᵀ F x1 = 0 in the (already e.g. HW-normalized)
     input coordinate frame of pts1/pts2.
+
+    `sign_canonical`: the null vector f is only defined up to sign, and the
+    signed residual X@f feeds the weight-update MLP of the recurrence — so
+    different eigensolvers give genuinely different (both valid) forward
+    trajectories. With this flag the sign is fixed so the largest-|.|
+    residual entry is positive, making runs reproducible across backends
+    and enabling bit-parity checks against the torch reference (which gets
+    the same canonicalization applied outside, tests/test_reference_parity).
     """
     norm_w = weights if weighted_normalization else None
     pts1n, T1 = hartley_normalize(pts1_h, norm_w, eps=eps)
@@ -66,5 +75,15 @@ def weighted_eight_point(
     F2 = rank2_projection(F, gap_eps)
 
     residual = jnp.einsum("...ni,...i->...n", X, f)
+    if sign_canonical:
+        import jax
+
+        idx = jnp.argmax(jnp.abs(residual), axis=-1)
+        r_max = jnp.take_along_axis(residual, idx[..., None], axis=-1)[..., 0]
+        s = jax.lax.stop_gradient(jnp.where(r_max >= 0, 1.0, -1.0))
+        s = s.astype(residual.dtype)
+        residual = residual * s[..., None]
+        f = f * s[..., None]
+        F2 = F2 * s[..., None, None]
     F_out = jnp.swapaxes(T2, -1, -2) @ F2 @ T1
     return FitResult(F=F_out, residual=residual, F_norm=F2, f_vec=f, T1=T1, T2=T2)

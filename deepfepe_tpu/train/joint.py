@@ -82,9 +82,9 @@ def make_joint_train_step(
                 deepf_net, deepf_params, db, cfg, q_clamp, t_clamp,
                 rng=step_rng,
             )
-            metrics["num_matches"] = jnp.mean(
-                jnp.sum(sp_out["valid"], axis=-1).astype(jnp.float32)
-            )
+            per_item = jnp.sum(sp_out["valid"], axis=-1).astype(jnp.float32)
+            metrics["num_matches"] = jnp.mean(per_item)
+            metrics["min_matches_item"] = jnp.min(per_item)
             return loss, metrics
 
         (loss, metrics), (g_deepf, g_sp) = jax.value_and_grad(
@@ -102,8 +102,11 @@ def make_joint_train_step(
         # matches for a stable fit — the reference's check_num_of_matches
         # thd=100 batch skip (Train_model_pipeline.py:113-115) and NaN-loss
         # pause (train_good_utils.py:986-987) combined.
+        # Guard on the per-item MIN (one degenerate item is what
+        # destabilizes the weighted-8-point VJP), matching the reference's
+        # per-sample check; the mean stays as the logged metric.
         min_matches = float(getattr(cfg.training, "min_matches", 0))
-        enough = metrics["num_matches"] >= min_matches
+        enough = metrics["min_matches_item"] >= min_matches
         finite = (
             jnp.isfinite(loss)
             & jnp.isfinite(metrics["g_deepf_norm"])

@@ -44,7 +44,10 @@ def load_pth_tar(path: str) -> Dict:
 def _to_np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
-    return t.detach().cpu().numpy()  # torch tensor
+    # Copy: .numpy() on a live module's tensor shares storage, so an
+    # in-place optimizer step on the torch side would silently mutate the
+    # "imported" params (bit us in the co-training parity test).
+    return np.array(t.detach().cpu().numpy())  # torch tensor
 
 
 def strip_module_prefix(sd: Dict) -> Dict:

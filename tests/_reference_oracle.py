@@ -1,0 +1,101 @@
+"""Import the live reference implementation (/root/reference) as a test
+oracle.
+
+The reference is PyTorch; we run it on CPU against identical inputs to turn
+"capability parity" claims into measured F/loss/gradient agreement
+(VERDICT round-1 item 1). A few of its imports (pebble, superpoint.utils,
+…) are not in this environment and are irrelevant to the numeric paths
+under test, so they are stubbed with inert placeholders before import.
+
+Nothing from the reference is copied — it is imported and *executed*.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+_loaded = {}
+
+
+def load_reference():
+    """Return a namespace with the reference modules used by parity tests.
+
+    Lazy + cached; raises pytest.skip-friendly ImportError if the reference
+    tree is absent.
+    """
+    if _loaded:
+        return _loaded["ns"]
+
+    for p in (REF_ROOT, f"{REF_ROOT}/deepFEPE"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+    # torch here is CPU-only but the reference calls .cuda() unconditionally
+    # (e.g. DeepFNet.__init__: self.mask = Variable(torch.ones(3)).cuda()).
+    # Make .cuda() an identity so the reference runs on CPU unmodified.
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    # Inert stand-ins for imports the numeric paths never touch.
+    _stub("pebble", ProcessPool=object)
+    sp = _stub("superpoint")
+    spu = _stub("superpoint.utils")
+    sp.utils = spu
+
+    def _noop(*a, **k):
+        return None
+
+    spu.logging = _stub(
+        "superpoint.utils.logging",
+        logging=__import__("logging"),
+        toRed=lambda s: s,
+        toCyan=lambda s: s,
+        toGreen=lambda s: s,
+        toMagenta=lambda s: s,
+        toYellow=lambda s: s,
+        toBlue=lambda s: s,
+    )
+    spu.utils = _stub(
+        "superpoint.utils.utils",
+        tensor2array=_noop,
+        save_checkpoint=_noop,
+        load_checkpoint=_noop,
+        save_path_formatter=_noop,
+        flattenDetection=_noop,
+    )
+
+    from deepFEPE.models.DeepFNet import (  # noqa: E402
+        DeepFNet,
+        Fit,
+        NormalizeAndExpand,
+    )
+    from deepFEPE import train_good_utils as tgu  # noqa: E402
+    from deepFEPE.dsac_tools import utils_F as ref_utils_F  # noqa: E402
+    from deepFEPE.dsac_tools import utils_geo as ref_utils_geo  # noqa: E402
+
+    ns = types.SimpleNamespace(
+        DeepFNet=DeepFNet,
+        Fit=Fit,
+        NormalizeAndExpand=NormalizeAndExpand,
+        tgu=tgu,
+        utils_F=ref_utils_F,
+        utils_geo=ref_utils_geo,
+    )
+    _loaded["ns"] = ns
+    return ns

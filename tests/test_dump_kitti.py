@@ -196,7 +196,7 @@ def test_dump_sift_des_roundtrip(tmp_path, rng):
     scene = tmp_path / "00"
     dump_sequence(img_files, np.stack(cam2world), ds.K, str(scene))
 
-    idx = np.load(scene / "ij_idx_0-1_good.npy")
+    idx = np.load(scene / "ij_idx_0-1_good_ij.npy")
     mat = np.load(scene / "ij_match_quality_0-1_good.npy")
     s0 = np.load(scene / "sift_000000.npy")
     s1 = np.load(scene / "sift_000001.npy")
