@@ -373,21 +373,28 @@ def cmd_val_feature(args):
     fp = FrontendParams(out_num_points=300, conf_thresh=1e-3)
 
     batch = next(stream)
+    converted = None
+    if args.pretrained and args.pretrained.endswith((".pth", ".pth.tar")):
+        # Reference/magicleap SuperPoint torch checkpoints
+        # (utils/torch_import.py); the gauss2 BN layout — the variant the
+        # reference's pretrained_SP zoo ships (train_good.py:224) — is
+        # auto-detected and gets the matching flax net.
+        from .utils.torch_import import load_reference_checkpoint
+
+        converted, _ = load_reference_checkpoint(args.pretrained, kind="auto")
+        if "batch_stats" in converted:
+            from .frontend import SuperPointNetGauss2
+
+            sp_net = SuperPointNetGauss2()
+
     params = sp_net.init(
         jax.random.PRNGKey(0), batch["imgs_grey"][:, 0][..., None]
     )
     if args.pretrained:
         from flax import serialization
 
-        if args.pretrained.endswith((".pth", ".pth.tar")):
-            # Reference/magicleap SuperPoint torch checkpoints
-            # (utils/torch_import.py).
-            from .utils.torch_import import load_reference_checkpoint
-
-            variables, _ = load_reference_checkpoint(
-                args.pretrained, kind="superpoint"
-            )
-            params = serialization.from_state_dict(params, variables)
+        if converted is not None:
+            params = serialization.from_state_dict(params, converted)
         else:
             with open(args.pretrained, "rb") as f:
                 params = serialization.from_bytes(params, f.read())

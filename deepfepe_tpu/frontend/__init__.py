@@ -10,6 +10,6 @@ from .process import (
     soft_argmax_refine,
     topk_keypoints,
 )
-from .superpoint import SuperPointNet, flatten_detection
+from .superpoint import SuperPointNet, SuperPointNetGauss2, flatten_detection
 
 __all__ = [k for k in dir() if not k.startswith("_")]

@@ -57,6 +57,64 @@ class SuperPointNet(nn.Module):
         return {"semi": semi, "desc": desc}
 
 
+class _DoubleConv(nn.Module):
+    """(Conv3x3 -> BN -> ReLU) x2 — pytorch-superpoint unet_parts
+    double_conv, the gauss2 backbone block."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv0")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn0")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = nn.relu(x)
+        return x
+
+
+class SuperPointNetGauss2(nn.Module):
+    """`SuperPointNet_gauss2` — the BN variant the reference instantiates
+    (train_good.py:224-225; pytorch-superpoint
+    models/SuperPointNet_gauss2.py): unet-style double-conv encoder
+    (64-64-128-128) with BatchNorm everywhere, BN'd detector/descriptor
+    heads (c5=256, det 65, desc 256). The reference's pretrained_SP model
+    zoo is in this layout; import via
+    utils.torch_import.convert_superpoint_gauss2_state.
+
+    Inference uses the checkpoint's running BN statistics
+    (train=False); pass train=True + mutable=['batch_stats'] to train.
+    """
+
+    det_h: int = 65
+    desc_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> dict:
+        pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, name=name
+        )
+        y = _DoubleConv(64, name="inc")(x, train)
+        y = _DoubleConv(64, name="down1")(pool(y), train)
+        y = _DoubleConv(128, name="down2")(pool(y), train)
+        y = _DoubleConv(128, name="down3")(pool(y), train)
+
+        d = nn.relu(
+            bn("bnPa")(nn.Conv(256, (3, 3), padding="SAME", name="convPa")(y))
+        )
+        semi = bn("bnPb")(nn.Conv(self.det_h, (1, 1), name="convPb")(d))
+
+        e = nn.relu(
+            bn("bnDa")(nn.Conv(256, (3, 3), padding="SAME", name="convDa")(y))
+        )
+        desc = bn("bnDb")(nn.Conv(self.desc_dim, (1, 1), name="convDb")(e))
+        desc = desc / (safe_norm(desc, axis=-1, keepdims=True) + 1e-10)
+
+        return {"semi": semi, "desc": desc}
+
+
 def flatten_detection(semi: jnp.ndarray) -> jnp.ndarray:
     """semi [B, H/8, W/8, 65] -> dense heatmap [B, H, W].
 

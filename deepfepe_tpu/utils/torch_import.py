@@ -141,6 +141,76 @@ def convert_superpoint_state(sd: Dict) -> Dict:
     return {"params": params}
 
 
+def convert_superpoint_gauss2_state(sd: Dict) -> Dict:
+    """`SuperPointNet_gauss2` state_dict -> `frontend.SuperPointNetGauss2`
+    flax variables ({'params', 'batch_stats'}).
+
+    Torch layout (pytorch-superpoint models/SuperPointNet_gauss2.py +
+    unet_parts.double_conv, the net train_good.py:224 instantiates):
+      inc.conv.conv.{0,3}          conv / {1,4} BN       -> inc/conv{0,1}, bn{0,1}
+      down{1,2,3}.mpconv.1.conv.*  same block after pool -> down{1,2,3}/...
+      convPa bnPa convPb bnPb convDa bnDa convDb bnDb    -> same names
+    """
+    sd = strip_module_prefix(sd)
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(tree, path, leaf, val):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node.setdefault(path[-1], {})[leaf] = val
+
+    seq = {"0": ("conv0", "conv"), "1": ("bn0", "bn"),
+           "3": ("conv1", "conv"), "4": ("bn1", "bn")}
+    for k, v in sd.items():
+        parts = k.split(".")
+        a = _to_np(v)
+        if parts[0] == "inc" or parts[0].startswith("down"):
+            # inc.conv.conv.<i>.<leaf> / downK.mpconv.1.conv.<i>.<leaf>
+            idx, leaf = parts[-2], parts[-1]
+            if idx not in seq:
+                continue  # num_batches_tracked
+            name, kind = seq[idx]
+            block = parts[0]
+            if kind == "conv":
+                if leaf == "weight":
+                    put(params, (block, name), "kernel",
+                        np.ascontiguousarray(a.transpose(2, 3, 1, 0)))
+                else:
+                    put(params, (block, name), "bias", a)
+            else:
+                _put_bn(params, stats, (block, name), leaf, a)
+        elif parts[0].startswith("conv") and len(parts) == 2:
+            layer, leaf = parts
+            if leaf == "weight":
+                put(params, (layer,), "kernel",
+                    np.ascontiguousarray(a.transpose(2, 3, 1, 0)))
+            else:
+                put(params, (layer,), "bias", a)
+        elif parts[0].startswith("bn") and len(parts) == 2:
+            _put_bn(params, stats, (parts[0],), parts[1], a)
+    return {"params": params, "batch_stats": stats}
+
+
+def _put_bn(params: Dict, stats: Dict, path, leaf: str, a) -> None:
+    def put(tree, leafname):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node.setdefault(path[-1], {})[leafname] = a
+
+    if leaf == "weight":
+        put(params, "scale")
+    elif leaf == "bias":
+        put(params, "bias")
+    elif leaf == "running_mean":
+        put(stats, "mean")
+    elif leaf == "running_var":
+        put(stats, "var")
+    # num_batches_tracked: dropped
+
+
 def load_reference_checkpoint(
     path: str, kind: str = "auto", if_bn: bool = False
 ) -> Tuple[Dict, Optional[int]]:
@@ -152,7 +222,14 @@ def load_reference_checkpoint(
     n_iter = ckpt.get("n_iter") if isinstance(ckpt, dict) else None
     keys = list(sd.keys())
     if kind == "auto":
-        kind = "deepf" if any(".fw." in k for k in keys) else "superpoint"
+        if any(".fw." in k for k in keys):
+            kind = "deepf"
+        elif any(k.startswith(("inc.", "module.inc.")) for k in keys):
+            kind = "superpoint_gauss2"
+        else:
+            kind = "superpoint"
     if kind == "deepf":
         return convert_deepf_state(sd, if_bn=if_bn), n_iter
+    if kind == "superpoint_gauss2":
+        return convert_superpoint_gauss2_state(sd), n_iter
     return convert_superpoint_state(sd), n_iter

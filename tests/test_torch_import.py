@@ -212,3 +212,122 @@ def test_load_checkpoint_pth_tar(tmp_path):
         convert_deepf_state(carrier.state_dict())
     )[0]
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _torch_gauss2(seed=0):
+    """In-test torch replica of SuperPointNet_gauss2 (pytorch-superpoint
+    models/SuperPointNet_gauss2.py + unet_parts.double_conv — the net
+    train_good.py:224 instantiates), exposing its exact state-dict naming."""
+    torch.manual_seed(seed)
+
+    def double_conv(in_ch, out_ch):
+        m = tnn.Module()
+        m.conv = tnn.Sequential(
+            tnn.Conv2d(in_ch, out_ch, 3, padding=1),
+            tnn.BatchNorm2d(out_ch),
+            tnn.ReLU(inplace=True),
+            tnn.Conv2d(out_ch, out_ch, 3, padding=1),
+            tnn.BatchNorm2d(out_ch),
+            tnn.ReLU(inplace=True),
+        )
+        m.forward = lambda x, _m=m: _m.conv(x)
+        return m
+
+    class Gauss2(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            c1, c2, c3, c4, c5, d1 = 64, 64, 128, 128, 256, 256
+            det_h = 65
+            self.relu = tnn.ReLU(inplace=True)
+            self.pool = tnn.MaxPool2d(kernel_size=2, stride=2)
+            self.inc = double_conv(1, c1)
+            self.down1 = tnn.Module()
+            self.down1.mpconv = tnn.Sequential(
+                tnn.MaxPool2d(2), double_conv(c1, c2)
+            )
+            self.down2 = tnn.Module()
+            self.down2.mpconv = tnn.Sequential(
+                tnn.MaxPool2d(2), double_conv(c2, c3)
+            )
+            self.down3 = tnn.Module()
+            self.down3.mpconv = tnn.Sequential(
+                tnn.MaxPool2d(2), double_conv(c3, c4)
+            )
+            self.convPa = tnn.Conv2d(c4, c5, 3, stride=1, padding=1)
+            self.bnPa = tnn.BatchNorm2d(c5)
+            self.convPb = tnn.Conv2d(c5, det_h, 1, stride=1, padding=0)
+            self.bnPb = tnn.BatchNorm2d(det_h)
+            self.convDa = tnn.Conv2d(c4, c5, 3, stride=1, padding=1)
+            self.bnDa = tnn.BatchNorm2d(c5)
+            self.convDb = tnn.Conv2d(c5, d1, 1, stride=1, padding=0)
+            self.bnDb = tnn.BatchNorm2d(d1)
+
+        def forward(self, x):
+            x1 = self.inc(x)
+            x2 = self.down1.mpconv(x1)
+            x3 = self.down2.mpconv(x2)
+            x4 = self.down3.mpconv(x3)
+            cPa = self.relu(self.bnPa(self.convPa(x4)))
+            semi = self.bnPb(self.convPb(cPa))
+            cDa = self.relu(self.bnDa(self.convDa(x4)))
+            desc = self.bnDb(self.convDb(cDa))
+            dn = torch.norm(desc, p=2, dim=1)
+            desc = desc.div(torch.unsqueeze(dn, 1))
+            return {"semi": semi, "desc": desc}
+
+    net = Gauss2()
+    # Non-trivial BN running stats so the import path is actually tested.
+    net.train()
+    with torch.no_grad():
+        for _ in range(3):
+            net(torch.randn(2, 1, 64, 64))
+    net.eval()
+    return net
+
+
+def test_superpoint_gauss2_forward_parity():
+    """gauss2 .pth.tar weights -> flax SuperPointNetGauss2: forward match
+    to 1e-4 (VERDICT round-1 item 2)."""
+    from deepfepe_tpu.frontend import SuperPointNetGauss2
+    from deepfepe_tpu.utils.torch_import import (
+        convert_superpoint_gauss2_state,
+    )
+
+    tnet = _torch_gauss2(seed=5)
+    variables = convert_superpoint_gauss2_state(
+        {"module." + k: v for k, v in tnet.state_dict().items()}
+    )
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, size=(2, 64, 96, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = SuperPointNetGauss2().apply(variables, jnp.asarray(x))
+
+    np.testing.assert_allclose(
+        np.asarray(ours["semi"]),
+        ref["semi"].numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["desc"]),
+        ref["desc"].numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_gauss2_checkpoint_auto_detect(tmp_path):
+    """load_reference_checkpoint sniffs the gauss2 layout from .pth.tar."""
+    from deepfepe_tpu.utils.torch_import import load_reference_checkpoint
+
+    tnet = _torch_gauss2(seed=6)
+    path = tmp_path / "superPointNet_100_checkpoint.pth.tar"
+    torch.save(
+        {"n_iter": 100, "model_state_dict": tnet.state_dict()}, path
+    )
+    variables, n_iter = load_reference_checkpoint(str(path))
+    assert n_iter == 100
+    assert "batch_stats" in variables
+    assert "inc" in variables["params"]
+    assert variables["params"]["convPb"]["kernel"].shape == (1, 1, 256, 65)
+    assert variables["batch_stats"]["bnDb"]["mean"].shape == (256,)
