@@ -98,9 +98,22 @@ def dump_sequence(
     Rt_cam2_gt: Optional[np.ndarray] = None,
     delta_ijs: Sequence[int] = (1,),
     n_features: int = 2000,
+    use_h5: bool = False,
 ) -> None:
-    """Write one scene in the reference dump layout."""
+    """Write one scene in the reference dump layout.
+
+    use_h5: per-pair/per-frame payload files (sift_*, ij_match_quality_*,
+    ij_idx_*) are written as .h5 (one dataset 'arr') instead of .npy —
+    the read_params.use_h5 layout (kitti_odo_corr.py:80)."""
     import cv2
+
+    def save_arr(base, a):
+        if use_h5:
+            from ..utils.io import saveh5
+
+            saveh5({"arr": np.asarray(a)}, f"{base}.h5")
+        else:
+            np.save(f"{base}.npy", a)
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -129,7 +142,7 @@ def dump_sequence(
         # Per-frame sift dump ([N, 130]: x y + 128-d desc), utils_kitti
         # load_sift :429 format.
         p, d = feats[i]
-        np.save(out / f"sift_{i:06d}.npy", np.concatenate([p, d], 1))
+        save_arr(out / f"sift_{i:06d}", np.concatenate([p, d], 1))
         for dij in delta_ijs:
             j = i + dij
             if j >= len(greys):
@@ -152,15 +165,15 @@ def dump_sequence(
 
             mat_all, idx_all = build(0.9)
             mat_good, idx_good = build(0.8)
-            np.save(out / f"ij_match_quality_{i}-{j}_all.npy", mat_all)
-            np.save(out / f"ij_match_quality_{i}-{j}_good.npy", mat_good)
+            save_arr(out / f"ij_match_quality_{i}-{j}_all", mat_all)
+            save_arr(out / f"ij_match_quality_{i}-{j}_good", mat_good)
             # Match indices into the per-frame sift_%06d.npy rows: lets the
             # loader assemble per-match descriptor pairs (des_good) for the
             # if_des fusion variants (kitti_odo_corr.py:513-521).
             # Reference _ij suffix (kitti_odo_corr.py:344); the loader also
             # probes the legacy _all/_good names from earlier dumps.
-            np.save(out / f"ij_idx_{i}-{j}_all_ij.npy", idx_all)
-            np.save(out / f"ij_idx_{i}-{j}_good_ij.npy", idx_good)
+            save_arr(out / f"ij_idx_{i}-{j}_all_ij", idx_all)
+            save_arr(out / f"ij_idx_{i}-{j}_good_ij", idx_good)
 
 
 def dump_kitti_odometry(

@@ -80,6 +80,8 @@ class KittiCorrDataset:
         with_matches_all: bool = False,
         all_num: int = 2000,
         with_sift_des: bool = False,
+        use_h5: bool = False,
+        with_X: bool = False,
     ):
         self.root = Path(dump_root)
         self.delta_ij = delta_ij
@@ -103,6 +105,18 @@ class KittiCorrDataset:
         # from sift_%06d.npy via ij_idx files (kitti_odo_corr.py:513-521),
         # for the if_des descriptor-fusion model variants.
         self.with_sift_des = with_sift_des
+        # read_params.use_h5 (kitti_odo_corr.py:80-82): per-pair/per-frame
+        # payload files carry a .h5 extension instead of .npy. The
+        # reference's own h5 read branches are vestigial (bare `pass`),
+        # so the h5 payload convention here is ours: one dataset named
+        # 'arr' per file (written by data/dump_kitti.py use_h5=True).
+        self.use_h5 = use_h5
+        self.ext = ".h5" if use_h5 else ".npy"
+        # read_what.with_X (kitti_odo_corr.py:155-176, 341-371): per-frame
+        # lidar point clouds X_cam0_%06d / X_cam2_%06d. Ragged per frame —
+        # like the reference (which attaches them only at batch_size==1,
+        # :377-379) they are only allowed in single-item batches.
+        self.with_X = with_X
         self.zoom_xy = (
             self.resize[1] / image_size[1],
             self.resize[0] / image_size[0],
@@ -128,7 +142,8 @@ class KittiCorrDataset:
             n_frames = len(poses)
             for i in range(n_frames - self.delta_ij):
                 j = i + self.delta_ij
-                good = scene / f"ij_match_quality_{i}-{j}_good.npy"
+                ext = ".h5" if self.use_h5 else ".npy"
+                good = scene / f"ij_match_quality_{i}-{j}_good{ext}"
                 if not good.is_file():
                     continue
                 rel = np.linalg.inv(rt_pad_np(poses[j])) @ rt_pad_np(poses[i])
@@ -149,6 +164,14 @@ class KittiCorrDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
+    def _load_arr(self, base) -> np.ndarray:
+        """Load `<base>.npy` or `<base>.h5` per use_h5 (dataset 'arr')."""
+        if self.use_h5:
+            from ..utils.io import loadh5
+
+            return np.asarray(loadh5(f"{base}.h5")["arr"])
+        return np.load(f"{base}.npy")
+
     def get_item(self, index: int) -> Dict[str, np.ndarray]:
         s = self.samples[index]
         zx, zy = self.zoom_xy
@@ -164,8 +187,8 @@ class KittiCorrDataset:
         K64 = K.astype(np.float64)
         F = np.linalg.inv(K64).T @ E @ np.linalg.inv(K64)
 
-        mq = np.load(
-            s["scene"] / f"ij_match_quality_{s['i']}-{s['j']}_good.npy"
+        mq = self._load_arr(
+            s["scene"] / f"ij_match_quality_{s['i']}-{s['j']}_good"
         ).astype(np.float32)
         matches = mq[:, :4].copy()
         matches[:, 0] *= zx
@@ -183,8 +206,8 @@ class KittiCorrDataset:
         rel_inv = np.linalg.inv(rel)
         extra = {}
         if self.with_matches_all:
-            ma = np.load(
-                s["scene"] / f"ij_match_quality_{s['i']}-{s['j']}_all.npy"
+            ma = self._load_arr(
+                s["scene"] / f"ij_match_quality_{s['i']}-{s['j']}_all"
             ).astype(np.float32)[:, :4]
             ma[:, 0] *= zx
             ma[:, 1] *= zy
@@ -200,14 +223,15 @@ class KittiCorrDataset:
             # (kitti_odo_corr.py:344); earlier dumps from our dump_kitti.py
             # used a _good.npy suffix — probe both.
             stem = s["scene"] / f"ij_idx_{s['i']}-{s['j']}"
-            for cand in (f"{stem}_good_ij.npy", f"{stem}_good.npy"):
-                if Path(cand).exists():
-                    idx = np.load(cand)
+            ext = ".h5" if self.use_h5 else ".npy"
+            for cand in (f"{stem}_good_ij", f"{stem}_good"):
+                if Path(cand + ext).exists():
+                    idx = self._load_arr(cand)
                     break
             else:
-                raise FileNotFoundError(f"{stem}_good_ij.npy")
-            s1 = np.load(s["scene"] / f"sift_{s['i']:06d}.npy")
-            s2 = np.load(s["scene"] / f"sift_{s['j']:06d}.npy")
+                raise FileNotFoundError(f"{stem}_good_ij{ext}")
+            s1 = self._load_arr(s["scene"] / f"sift_{s['i']:06d}")
+            s2 = self._load_arr(s["scene"] / f"sift_{s['j']:06d}")
             des = np.concatenate(
                 [s1[idx[:, 0], 2:], s2[idx[:, 1], 2:]], 1
             ).astype(np.float32)
@@ -216,6 +240,16 @@ class KittiCorrDataset:
             # 'des' (the reference builds data_batch['des'] from des_good,
             # Train_model_pipeline.py:433-446).
             extra["des"] = extra["des_good"]
+        if self.with_X:
+            # Lidar point clouds (ragged [Ni, 3]); reference attaches the
+            # raw arrays (X_cam0s/X_cam2s, kitti_odo_corr.py:341-379).
+            for cam in ("cam0", "cam2"):
+                extra[f"X_{cam}s"] = [
+                    self._load_arr(
+                        s["scene"] / f"X_{cam}_{f:06d}"
+                    ).astype(np.float32)
+                    for f in (s["i"], s["j"])
+                ]
         if self.with_imgs:
             extra["imgs_grey"] = np.stack(
                 [self._load_grey(s["scene"], s["i"]),
@@ -276,7 +310,18 @@ class KittiCorrDataset:
             if len(idxs) < batch_size and drop_last:
                 return
             items = [self.get_item(int(i)) for i in idxs]
-            out = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            ragged = {"X_cam0s", "X_cam2s"}
+            if self.with_X and batch_size != 1:
+                raise ValueError(
+                    "with_X point clouds are ragged; use batch_size=1 "
+                    "(reference semantics, kitti_odo_corr.py:377)"
+                )
+            out = {
+                k: np.stack([it[k] for it in items])
+                for k in items[0] if k not in ragged
+            }
+            for k in ragged & set(items[0]):
+                out[k] = items[0][k]  # batch_size == 1: raw list of [Ni, 3]
             F = jnp.asarray(out["F_gts"])
             p1v, p2v = get_virtual_points(
                 F, self.resize, iters=self.virtual_iters

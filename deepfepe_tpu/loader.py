@@ -52,6 +52,8 @@ def data_loader(cfg: Config, task: str = "train"):
             with_matches_all=d.with_matches_all,
             all_num=d.all_num,
             with_sift_des=d.with_sift_des,
+            use_h5=d.use_h5,
+            with_X=d.with_X,
         )
     raise ValueError(f"unknown dataset {d.dataset!r}")
 

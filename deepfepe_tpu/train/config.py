@@ -38,6 +38,10 @@ class DataConfig:
     # Per-match SIFT descriptor pairs for the if_des fusion variants
     # (read_what.with_sift_des, kitti_odo_corr.py:513-521).
     with_sift_des: bool = False
+    # read_params.use_h5 (kitti_odo_corr.py:80): .h5 payload files.
+    use_h5: bool = False
+    # read_what.with_X (kitti_odo_corr.py:155-176): lidar point clouds.
+    with_X: bool = False
     # Per-task scene lists for dump datasets (ref: per-task {train,val}.txt
     # frame lists + eval configs pinning seqs 09/10, kitti_odo_corr.py:100).
     # None -> crawl every scene directory under dump_root.
@@ -147,6 +151,9 @@ def config_from_dict(raw: dict) -> Config:
         rs = data_raw["preprocessing"].get("resize")
         if rs:
             data_raw["resize"] = tuple(rs[:2])
+    rp = data_raw.get("read_params", {})
+    if isinstance(rp, dict):
+        data_raw.setdefault("use_h5", rp.get("use_h5", False))
     rw = data_raw.get("read_what", {})
     if isinstance(rw, dict):
         data_raw.setdefault("with_quality", rw.get("with_quality", True))
@@ -158,6 +165,7 @@ def config_from_dict(raw: dict) -> Config:
         data_raw.setdefault(
             "with_sift_des", rw.get("with_sift_des", False)
         )
+        data_raw.setdefault("with_X", rw.get("with_X", False))
         gamma = rw.get("with_imgs_gamma")
         # The reference treats gamma 1 as a no-op perturbation.
         data_raw.setdefault(

@@ -220,3 +220,85 @@ def test_dump_sift_des_roundtrip(tmp_path, rng):
             np.allclose(item["des_good"][r, :128], s0[si, 2:130])
             for si in src
         )
+
+
+def test_h5_dump_and_reload_matches_npy(tmp_path, rng):
+    """Same scene dumped in npy and h5 layouts -> byte-identical samples
+    (read_params.use_h5, kitti_odo_corr.py:80)."""
+    from deepfepe_tpu.data.dump_kitti import dump_sequence
+
+    ds = SyntheticImagePairs(image_size=(120, 160), seed=5,
+                             max_angle_deg=1.0, t_scale=0.08)
+    item = ds._sample_item()
+    imgs = [item["imgs_grey"][0], item["imgs_grey"][1]]
+    poses = [np.eye(4), item["delta_Rtijs_4_4"].astype(np.float64)]
+    cam2world = [np.linalg.inv(p)[:3] for p in poses]
+
+    img_files = []
+    for i, im in enumerate(imgs):
+        f = tmp_path / f"src_{i}.jpg"
+        cv2.imwrite(str(f), (im * 255).astype(np.uint8))
+        img_files.append(str(f))
+
+    for name, h5 in (("npy", False), ("h5", True)):
+        dump_sequence(
+            img_files, np.stack(cam2world), ds.K,
+            str(tmp_path / name / "00"), delta_ijs=(1,), use_h5=h5,
+        )
+
+    assert (tmp_path / "h5" / "00" / "ij_match_quality_0-1_good.h5").is_file()
+    assert not (
+        tmp_path / "h5" / "00" / "ij_match_quality_0-1_good.npy"
+    ).exists()
+
+    kw = dict(good_num=64, image_size=(120, 160), seed=7,
+              with_matches_all=True, all_num=128, with_sift_des=True)
+    a = KittiCorrDataset(str(tmp_path / "npy"), **kw).get_item(0)
+    b = KittiCorrDataset(str(tmp_path / "h5"), use_h5=True, **kw).get_item(0)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_with_X_lidar_fields(tmp_path, rng):
+    """read_what.with_X: per-frame X_cam0/X_cam2 clouds attach raw at
+    batch_size 1 and refuse larger batches (kitti_odo_corr.py:155-379)."""
+    from deepfepe_tpu.data.dump_kitti import dump_sequence
+
+    ds = SyntheticImagePairs(image_size=(120, 160), seed=6,
+                             max_angle_deg=1.0, t_scale=0.08)
+    item = ds._sample_item()
+    imgs = [item["imgs_grey"][0], item["imgs_grey"][1]]
+    poses = [np.eye(4), item["delta_Rtijs_4_4"].astype(np.float64)]
+    cam2world = [np.linalg.inv(p)[:3] for p in poses]
+    img_files = []
+    for i, im in enumerate(imgs):
+        f = tmp_path / f"src_{i}.jpg"
+        cv2.imwrite(str(f), (im * 255).astype(np.uint8))
+        img_files.append(str(f))
+    scene = tmp_path / "00"
+    dump_sequence(img_files, np.stack(cam2world), ds.K, str(scene))
+
+    # Ragged per-frame clouds, like real lidar scans.
+    clouds = {}
+    for f, n in ((0, 1000), (1, 1200)):
+        for cam in ("cam0", "cam2"):
+            X = rng.randn(n + (100 if cam == "cam2" else 0), 3).astype(
+                np.float32
+            )
+            np.save(scene / f"X_{cam}_{f:06d}.npy", X)
+            clouds[(cam, f)] = X
+
+    loader = KittiCorrDataset(
+        str(tmp_path), good_num=64, image_size=(120, 160), seed=0,
+        with_X=True,
+    )
+    item = loader.get_item(0)
+    assert len(item["X_cam0s"]) == 2
+    np.testing.assert_array_equal(item["X_cam0s"][0], clouds[("cam0", 0)])
+    np.testing.assert_array_equal(item["X_cam2s"][1], clouds[("cam2", 1)])
+
+    b = next(loader.batches(1, shuffle=False))
+    assert len(b["X_cam2s"]) == 2
+    with pytest.raises(ValueError):
+        next(loader.batches(2, shuffle=False, drop_last=False))

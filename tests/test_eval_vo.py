@@ -481,3 +481,98 @@ def test_eval_good_npz_body_frame_conjugation(tmp_path, monkeypatch):
     np.testing.assert_allclose(body, want, atol=1e-5)
     # And it is genuinely different from the cam-frame pose.
     assert np.abs(body - M).max() > 1e-3
+
+
+def test_rpe_full_surface_matches_reference_script():
+    """evaluate_trajectory vs the reference's vendored TUM script on the
+    same trajectory, across delta units and the all-pairs mode
+    (ref: evaluations/evaluate_rpe.py:204-297)."""
+    import types
+
+    # The script's __main__ block is Python 2 (print statements); exec only
+    # the function definitions above it.
+    src = open("/root/reference/evaluations/evaluate_rpe.py").read()
+    src = src.split("if __name__")[0]
+    ref_rpe = types.ModuleType("ref_evaluate_rpe")
+    exec(compile(src, "ref_evaluate_rpe", "exec"), ref_rpe.__dict__)
+
+    rng = np.random.RandomState(3)
+    n = 40
+    stamps = np.cumsum(0.1 + 0.01 * rng.rand(n))
+    gt, est = [], []
+    T_g, T_e = np.eye(4), np.eye(4)
+    for k in range(n):
+        def step(mag_r, mag_t):
+            ax = rng.randn(3); ax /= np.linalg.norm(ax)
+            a = mag_r * rng.rand()
+            K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                          [-ax[1], ax[0], 0]])
+            R = np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * K @ K
+            T = np.eye(4); T[:3, :3] = R
+            T[:3, 3] = rng.randn(3) * mag_t + [0, 0, 0.3]
+            return T
+        T_g = T_g @ step(0.05, 0.01)
+        T_e = T_e @ step(0.055, 0.012)
+        gt.append(T_g.copy()); est.append(T_e.copy())
+    gt, est = np.stack(gt), np.stack(est)
+
+    class Py2Dict(dict):
+        # The vendored script is Python 2: it calls traj.keys().sort().
+        def keys(self):
+            return sorted(super().keys())
+
+    traj_gt = Py2Dict({s: g for s, g in zip(stamps, gt)})
+    traj_est = Py2Dict({s: e for s, e in zip(stamps, est)})
+
+    from deepfepe_tpu.eval import tum
+
+    cases = [
+        dict(fixed_delta=True, delta=0.35, delta_unit="s"),
+        dict(fixed_delta=True, delta=1.0, delta_unit="m"),
+        dict(fixed_delta=True, delta=0.1, delta_unit="rad"),
+        dict(fixed_delta=True, delta=3.0, delta_unit="f"),
+        dict(fixed_delta=False, max_pairs=0),  # deterministic all-pairs
+    ]
+    for case in cases:
+        res_ref = np.asarray(
+            ref_rpe.evaluate_trajectory(
+                traj_gt, traj_est,
+                param_max_pairs=case.get("max_pairs", 10000),
+                param_fixed_delta=case.get("fixed_delta", False),
+                param_delta=case.get("delta", 1.0),
+                param_delta_unit=case.get("delta_unit", "s"),
+            )
+        )
+        res_ours = tum.evaluate_trajectory(
+            gt, est, gt_stamps=stamps, est_stamps=stamps, **case
+        )
+        assert res_ours.shape == res_ref.shape, (case, res_ours.shape,
+                                                 res_ref.shape)
+        # Same pair set and identical errors.
+        np.testing.assert_allclose(res_ours, res_ref, atol=1e-9,
+                                   err_msg=str(case))
+
+
+def test_rpe_max_pairs_sampling_and_scale():
+    rng = np.random.RandomState(0)
+    n = 30
+    poses = []
+    T = np.eye(4)
+    for _ in range(n):
+        T = T.copy(); T[:3, 3] += [0.1, 0, 0.5]
+        poses.append(T.copy())
+    poses = np.stack(poses)
+    from deepfepe_tpu.eval import tum
+
+    r = tum.rpe(poses, poses, fixed_delta=True, delta=2, delta_unit="f",
+                max_pairs=5)
+    assert r["num_pairs"] == 5
+    assert r["trans_rmse"] < 1e-12
+
+    # scale: est with halved translations at scale=2 matches gt exactly.
+    est = poses.copy()
+    est[:, :3, 3] *= 0.5
+    res = tum.evaluate_trajectory(
+        poses, est, fixed_delta=True, delta=1, delta_unit="f", scale=2.0
+    )
+    assert np.abs(res[:, 4]).max() < 1e-12
