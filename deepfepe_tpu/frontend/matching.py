@@ -41,6 +41,16 @@ def descriptor_distance(
     return jnp.where(d2 > 0, jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
 
 
+import os
+
+# Matcher forward backend: 'auto', 'xla', or 'pallas' (the fused TPU kernel
+# ops/pallas/matcher_pallas.py — [K, K] distance tiles stay in VMEM).
+# Global override via DEEPFEPE_MATCHER_IMPL. 'auto' picks pallas on TPU at
+# SP production fan-outs (K >= PALLAS_MATCHER_MIN_K), xla otherwise.
+DEFAULT_MATCHER_BACKEND = os.environ.get("DEEPFEPE_MATCHER_IMPL", "auto")
+PALLAS_MATCHER_MIN_K = 512
+
+
 def mutual_nn_match(
     desc1: jnp.ndarray,   # [B, K, D]
     desc2: jnp.ndarray,   # [B, K, D]
@@ -48,6 +58,7 @@ def mutual_nn_match(
     valid2: jnp.ndarray,  # [B, K] bool
     nn_thresh: float = 1.0,
     num_matches: int | None = None,
+    backend: str | None = None,
 ) -> Matches:
     """Two-way mutual NN matching with a distance threshold.
 
@@ -55,18 +66,51 @@ def mutual_nn_match(
     d < nn_thresh — exactly nn_match_two_way's rule. Invalid (padded)
     keypoints are excluded. Matches are sorted best-first and padded to
     `num_matches` (default K).
+
+    The pallas backend zeroes invalid descriptors instead of masking the
+    distance matrix, so a valid row whose every valid dot-product is
+    negative may nominate an invalid column — at distance sqrt(2), above
+    any standard nn_thresh (<= 1.0), so the match sets agree wherever the
+    threshold applies (asserted in tests at matched thresholds).
     """
     B, K, _ = desc1.shape
     num_matches = num_matches or K
-    d = descriptor_distance(desc1, desc2)  # [B, K, K]
-    big = jnp.asarray(1e9, d.dtype)
-    d = jnp.where(valid1[..., :, None] & valid2[..., None, :], d, big)
+    backend = backend or DEFAULT_MATCHER_BACKEND
+    if backend == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        backend = (
+            "pallas" if on_tpu and K >= PALLAS_MATCHER_MIN_K else "xla"
+        )
 
-    nn12 = jnp.argmin(d, axis=-1)  # [B, K] best j for each i
-    nn21 = jnp.argmin(d, axis=-2)  # [B, K] best i for each j
-    i_idx = jnp.arange(K)
-    mutual = jnp.take_along_axis(nn21, nn12, axis=-1) == i_idx[None, :]
-    dist_i = jnp.take_along_axis(d, nn12[..., None], axis=-1)[..., 0]
+    big = jnp.asarray(1e9, desc1.dtype)
+    if backend == "pallas":
+        from ..ops.pallas.matcher_pallas import mutual_nn_pallas
+
+        nn12, _, _, mutual = mutual_nn_pallas(
+            jax.lax.stop_gradient(desc1), jax.lax.stop_gradient(desc2),
+            valid1, valid2,
+        )
+        # Scores feed the differentiable match quality in joint training,
+        # and the kernel output carries no VJP — recompute the selected
+        # pair distances from the (integer) indices with an O(BKD) gather:
+        # the kernel does the O(BK^2 D) argmin work, gradients flow here.
+        d2_sel = jnp.take_along_axis(desc2, nn12[..., None], axis=-2)
+        dot = jnp.sum(desc1 * d2_sel, axis=-1)
+        d2v = jnp.clip(2.0 - 2.0 * dot, min=0.0)
+        dist_i = jnp.where(
+            d2v > 0, jnp.sqrt(jnp.where(d2v > 0, d2v, 1.0)), 0.0
+        )
+    else:
+        d = descriptor_distance(desc1, desc2)  # [B, K, K]
+        d = jnp.where(valid1[..., :, None] & valid2[..., None, :], d, big)
+
+        nn12 = jnp.argmin(d, axis=-1)  # [B, K] best j for each i
+        nn21 = jnp.argmin(d, axis=-2)  # [B, K] best i for each j
+        i_idx = jnp.arange(K)
+        mutual = (
+            jnp.take_along_axis(nn21, nn12, axis=-1) == i_idx[None, :]
+        )
+        dist_i = jnp.take_along_axis(d, nn12[..., None], axis=-1)[..., 0]
     keep = mutual & (dist_i < nn_thresh) & valid1
 
     # Sort matches best-first; pad to num_matches.

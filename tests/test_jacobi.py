@@ -115,3 +115,75 @@ def test_matcher_pallas_interpret(rng):
         for b in range(B) for j in range(K) if bool(ref.valid[b, j])
     }
     assert got_pairs == ref_pairs
+
+
+def test_matcher_backend_parity_interpret(rng):
+    """mutual_nn_match(backend='pallas') == backend='xla' end to end (match
+    sets, indices, scores) at a standard threshold, interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepfepe_tpu.frontend.matching import mutual_nn_match
+
+    B, K, D = 2, 48, 32
+    # Correlated descriptors -> plenty of real mutual matches.
+    base = rng.randn(B, K, D).astype(np.float32)
+    noise = rng.randn(B, K, D).astype(np.float32) * 0.3
+    d1 = base / np.linalg.norm(base, axis=-1, keepdims=True)
+    d2p = base + noise
+    perm = rng.permutation(K)
+    d2 = (d2p / np.linalg.norm(d2p, axis=-1, keepdims=True))[:, perm]
+    valid1 = rng.rand(B, K) > 0.1
+    valid2 = rng.rand(B, K) > 0.1
+
+    args = (jnp.asarray(d1), jnp.asarray(d2),
+            jnp.asarray(valid1), jnp.asarray(valid2))
+    ref = mutual_nn_match(*args, nn_thresh=0.9, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = mutual_nn_match(*args, nn_thresh=0.9, backend="pallas")
+
+    def pairs(m):
+        return {
+            (b, int(m.idx1[b, k]), int(m.idx2[b, k]))
+            for b in range(B) for k in range(m.valid.shape[1])
+            if bool(m.valid[b, k])
+        }
+
+    assert pairs(got) == pairs(ref)
+    # Scores agree on the kept matches (both sorted best-first).
+    nv = int(np.sum(np.asarray(ref.valid)))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(got.scores)[np.asarray(got.valid)]),
+        np.sort(np.asarray(ref.scores)[np.asarray(ref.valid)]),
+        atol=1e-6,
+    )
+    assert nv > 10  # the scenario actually produced matches
+
+
+def test_matcher_pallas_scores_differentiable(rng):
+    """The pallas backend's scores must carry gradients to the descriptors
+    (they feed the joint-training match quality)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepfepe_tpu.frontend.matching import mutual_nn_match
+
+    B, K, D = 1, 16, 8
+    d1 = rng.randn(B, K, D).astype(np.float32)
+    d2 = d1 + 0.1 * rng.randn(B, K, D).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    valid = jnp.ones((B, K), bool)
+
+    def loss(a, backend):
+        m = mutual_nn_match(
+            a, jnp.asarray(d2), valid, valid, nn_thresh=0.9,
+            backend=backend,
+        )
+        return jnp.sum(jnp.where(m.valid, m.scores, 0.0))
+
+    g_x = jax.grad(lambda a: loss(a, "xla"))(jnp.asarray(d1))
+    with pltpu.force_tpu_interpret_mode():
+        g_p = jax.grad(lambda a: loss(a, "pallas"))(jnp.asarray(d1))
+    assert np.any(np.asarray(g_p) != 0)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_x), rtol=1e-3, atol=1e-3
+    )
