@@ -45,6 +45,7 @@ def _make_trajectory(rng, n, drift=0.02):
     return np.stack(gt), np.stack(rels)
 
 
+@pytest.mark.slow
 def test_pose_graph_recovers_from_drift(rng):
     gt, rels = _make_trajectory(rng, 8)
     # Perturb odometry measurements -> drifting initial chain.
@@ -69,6 +70,7 @@ def test_pose_graph_recovers_from_drift(rng):
     assert end_err1 < end_err0
 
 
+@pytest.mark.slow
 def test_pose_graph_dof_mask_freezes_rotations(rng):
     gt, rels = _make_trajectory(rng, 6)
     rels_noisy = rels.copy()
@@ -84,6 +86,7 @@ def test_pose_graph_dof_mask_freezes_rotations(rng):
     )
 
 
+@pytest.mark.slow
 def test_pose_graph_two_stage_preserves_rotations(rng):
     """Regression for the skip-edge trade-off (ROADMAP: vo_pose_graph_ft*).
 

@@ -106,6 +106,7 @@ def test_snippet_ate_zero_for_perfect(rng):
     assert res["mean"][1] < 1e-6
 
 
+@pytest.mark.slow
 def test_ransac_f_rejects_outliers(rng):
     s = synthetic_pair(rng, n=256, noise=0.5, outlier_frac=0.4)
     res = ev.ransac_f(
@@ -130,6 +131,7 @@ def test_ransac_f_rejects_outliers(rng):
     assert np.median(d) < 2.0
 
 
+@pytest.mark.slow
 def test_val_rt_gt_sanity(rng):
     # The reference invariant: evaluating with gt E must give ~0 errors.
     pairs = [synthetic_pair(rng, n=128, noise=0.2) for _ in range(3)]
@@ -212,6 +214,7 @@ def test_result_processor_and_tables(tmp_path, rng):
     assert "textbf" in latex and "expA" in latex
 
 
+@pytest.mark.slow
 def test_dsac_essential(rng):
     from deepfepe_tpu.models.dsac import dsac_essential
 
@@ -332,6 +335,7 @@ def test_metrics_summary(rng):
     assert f["weight_f1"] > 0.99
 
 
+@pytest.mark.slow
 def test_goodcorres_arch_variant():
     from deepfepe_tpu.data import SyntheticPairs
     from deepfepe_tpu.models import DeepFNet
@@ -402,6 +406,7 @@ def test_exp_table_from_config(tmp_path, rng):
     assert t["s.k"]["err_q_median"] > t["d.k"]["err_q_median"]
 
 
+@pytest.mark.slow
 def test_eval_good_npz_body_frame_conjugation(tmp_path, monkeypatch):
     """eval_good npz dumps: relative_poses_body must equal
     inv(Rt_cam2_gt) @ M_cam @ Rt_cam2_gt for a non-identity Rt_cam2_gt

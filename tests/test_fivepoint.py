@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from deepfepe_tpu.eval import ransac_e, ransac_e_batch
 from deepfepe_tpu.geometry.fivepoint import five_point_candidates
+import pytest
 
 
 def _random_pose(rng, angle_deg):
@@ -49,6 +50,7 @@ def _E_err(E, Egt):
     return min(np.linalg.norm(E - Egt), np.linalg.norm(E + Egt))
 
 
+@pytest.mark.slow
 def test_five_point_exact_recovery():
     rng = np.random.RandomState(3)
     for _ in range(4):
@@ -85,6 +87,7 @@ def test_five_point_candidates_satisfy_essential_constraints():
         assert np.linalg.norm(resid) < 5e-2
 
 
+@pytest.mark.slow
 def test_ransac_e_with_outliers():
     rng = np.random.RandomState(7)
     R, t = _random_pose(rng, 5.0)
@@ -108,6 +111,7 @@ def test_ransac_e_with_outliers():
     assert mask[:n_out].mean() < 0.2
 
 
+@pytest.mark.slow
 def test_ransac_e_batch_shapes():
     rng = np.random.RandomState(9)
     B, n = 3, 64
@@ -125,6 +129,7 @@ def test_ransac_e_batch_shapes():
     assert np.all(np.asarray(res.num_inliers) > 0.9 * n)
 
 
+@pytest.mark.slow
 def test_val_rt_five_point_baseline():
     # exps.five_point=true parity: the 5-pt baseline inside val_rt_batch
     # recovers pose on clean KITTI-scale synthetic pairs.

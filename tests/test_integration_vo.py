@@ -13,7 +13,10 @@ import jax.numpy as jnp
 
 from deepfepe_tpu import eval as ev
 from deepfepe_tpu.data.synthetic_sequence import SyntheticSequence
+import pytest
 
+
+pytestmark = pytest.mark.slow  # end-to-end: excluded from the core numeric suite
 
 def test_sequence_generator_consistency():
     seq = SyntheticSequence(n_frames=8, good_num=128, noise_px=0.0,

@@ -46,6 +46,7 @@ def test_jacobi_eigh_near_degenerate(rng):
     np.testing.assert_allclose(recon[0], A, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_eigh9_pallas_interpret_matches_jacobi(rng):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -117,6 +118,7 @@ def test_matcher_pallas_interpret(rng):
     assert got_pairs == ref_pairs
 
 
+@pytest.mark.slow
 def test_matcher_backend_parity_interpret(rng):
     """mutual_nn_match(backend='pallas') == backend='xla' end to end (match
     sets, indices, scores) at a standard threshold, interpret mode."""

@@ -16,7 +16,10 @@ from deepfepe_tpu.train.joint import (
     make_joint_train_step,
 )
 from deepfepe_tpu import geometry as geo
+import pytest
 
+
+pytestmark = pytest.mark.slow  # end-to-end: excluded from the core numeric suite
 
 def test_synthetic_images_photometric_and_geometric_consistency(rng):
     ds = SyntheticImagePairs(image_size=(64, 96), seed=2)

@@ -45,6 +45,7 @@ def test_forward_matches_reference():
     assert float(jnp.abs(out[..., :1] - ref).max()) < 2e-2 * scale
 
 
+@pytest.mark.slow
 def test_gradients_match_reference_autodiff():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, 40, 5), jnp.float32)
@@ -105,6 +106,7 @@ def test_hidden_bias_gradient_is_exact_zero_in_fused():
     assert float(jnp.abs(g["params"]["Dense_2"]["bias"]).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_fused_in_deepfnet_trains():
     """One train step of DeepFNet with use_pallas_mlp compiles and yields
     finite loss/gradients (interpret mode)."""

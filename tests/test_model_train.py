@@ -19,6 +19,8 @@ from deepfepe_tpu.parallel import make_mesh, shard_batch
 from deepfepe_tpu.train import Config, Trainer
 
 
+pytestmark = pytest.mark.slow  # end-to-end: excluded from the core numeric suite
+
 def to_jax(b):
     return {k: jnp.asarray(v) for k, v in b.items()}
 

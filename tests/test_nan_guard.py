@@ -8,7 +8,10 @@ import jax
 from deepfepe_tpu.data import SyntheticPairs
 from deepfepe_tpu.models import DeepFNet
 from deepfepe_tpu.train import Config, Trainer
+import pytest
 
+
+pytestmark = pytest.mark.slow  # end-to-end: excluded from the core numeric suite
 
 def _leaves(state):
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from conftest import synthetic_pair
 from deepfepe_tpu import geometry as geo
 from deepfepe_tpu import ops
+import pytest
 
 
 def _sym(rng, b, n):
@@ -70,6 +71,7 @@ def test_project_E_110(rng):
         np.testing.assert_allclose(s, [1.0, 1.0, 0.0], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_weighted_eight_point_recovers_gt_F(rng):
     # Clean correspondences + uniform weights -> F must match gt up to scale.
     batch = []
@@ -144,6 +146,7 @@ def test_weighted_eight_point_downweights_outliers(rng):
     assert err < 5e-2, err
 
 
+@pytest.mark.slow
 def test_weighted_eight_point_differentiable(rng):
     s = synthetic_pair(rng, n=64, noise=0.5)
     pts1_h, _ = geo.normalize_hw(jnp.asarray(s["x1"][None], jnp.float32), (376, 1241))
@@ -159,6 +162,7 @@ def test_weighted_eight_point_differentiable(rng):
     assert float(jnp.max(jnp.abs(g))) > 0
 
 
+@pytest.mark.slow
 def test_sample_scores_no_overflow_with_concentrated_weights():
     """prod(w*1000) overflows f32 once the softmax concentrates; the
     log-space score must stay finite and equal the normalized product
@@ -248,6 +252,7 @@ def test_compute_epi_residual_grad_finite_zero_row_F():
     assert np.isfinite(np.asarray(g)).all(), np.asarray(g)
 
 
+@pytest.mark.slow
 def test_sample_loss_fits_grad_finite_one_hot_weights():
     """End-to-end sample-loss fan-out under a near-one-hot weight softmax:
     every sampled subset is ~20 copies of the same point; gradients back to

@@ -590,6 +590,7 @@ def test_full_forward_parity(ref):
     assert np.abs(res_t - res_j).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_full_backward_parity(ref):
     """d loss_F / d MLP params agree between the implementations."""
     depth = 3
@@ -661,6 +662,7 @@ def test_full_backward_parity(ref):
     assert checked == 12  # 6 conv kernels per MLP
 
 
+@pytest.mark.slow
 def test_co_training_parity(ref):
     """Short co-training: same init, same batches, same Adam — the loss
     trajectories must track (measured drift < 1e-3 relative by iter 10)."""

@@ -113,6 +113,7 @@ def test_float_grayscale_image(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_trainer_writes_tb(tmp_path):
     """MetricLogger with tb enabled mirrors JSONL scalars into tfevents."""
     from deepfepe_tpu.train.loop import MetricLogger
@@ -136,6 +137,7 @@ def test_trainer_writes_tb(tmp_path):
     assert scalars[(1, "val/err_q")] == 0.5
 
 
+@pytest.mark.slow
 def test_validate_logs_histograms_and_strip(tmp_path):
     """Trainer.validate emits weight/residual histograms + a weight-strip
     image to the TB sink (ref: Train_model_pipeline.py:772-815, 998-1035)."""

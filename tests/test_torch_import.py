@@ -155,6 +155,7 @@ def _torch_superpoint(seed=0):
     return SP()
 
 
+@pytest.mark.slow
 def test_superpoint_forward_parity():
     from deepfepe_tpu.frontend import SuperPointNet
 
@@ -285,6 +286,7 @@ def _torch_gauss2(seed=0):
     return net
 
 
+@pytest.mark.slow
 def test_superpoint_gauss2_forward_parity():
     """gauss2 .pth.tar weights -> flax SuperPointNetGauss2: forward match
     to 1e-4 (VERDICT round-1 item 2)."""

@@ -21,7 +21,10 @@ from deepfepe_tpu.parallel import (
 )
 from deepfepe_tpu.train import Config, Trainer
 from deepfepe_tpu.train.engine import compute_losses
+import pytest
 
+
+pytestmark = pytest.mark.slow  # 2x4-mesh value+grad parity, ~5 min standalone
 
 def _cfg():
     cfg = Config()

@@ -9,6 +9,8 @@ import optax
 
 from deepfepe_tpu.frontend import SuperPointNet, flatten_detection
 from deepfepe_tpu.frontend.process import nms_heatmap, topk_keypoints
+import pytest
+
 from deepfepe_tpu.frontend.train_sp import (
     SyntheticShapes,
     descriptor_loss,
@@ -17,6 +19,8 @@ from deepfepe_tpu.frontend.train_sp import (
     make_joint_sp_train_step,
 )
 
+
+pytestmark = pytest.mark.slow  # end-to-end: excluded from the core numeric suite
 
 def test_synthetic_shapes_labels():
     ds = SyntheticShapes(image_size=(64, 96), seed=0)

@@ -24,6 +24,8 @@ from deepfepe_tpu.eval import ValPipelineFrontend, load_params_msgpack
 from deepfepe_tpu.models import DeepFNet
 
 
+pytestmark = pytest.mark.slow  # end-to-end: excluded from the core numeric suite
+
 def _save_bare_params(path, params):
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))
