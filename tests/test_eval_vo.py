@@ -581,3 +581,54 @@ def test_rpe_max_pairs_sampling_and_scale():
         poses, est, fixed_delta=True, delta=1, delta_unit="f", scale=2.0
     )
     assert np.abs(res[:, 4]).max() < 1e-12
+
+
+def test_results_extended_table_surface(tmp_path, rng):
+    """AP-style masked inlier tables, top-k highlights, markdown with
+    summary rows, figure assembly (ref: eval_tools.py:113-139, 452-572)."""
+    from deepfepe_tpu.eval.results import ExpTableProcessor, ResultProcessor
+
+    S, N = 6, 50
+    d = np.abs(rng.randn(S, N)) * 0.8
+    scores = rng.rand(S, N)
+    eq, et = np.abs(rng.randn(S)), np.abs(rng.randn(S))
+    np.savez(tmp_path / "a.npz", epi_dists=d, mscores=scores,
+             err_q=eq, err_t=et)
+    np.savez(tmp_path / "b.npz", epi_dists=d * 0.5, mscores=scores,
+             err_q=eq * 0.5, err_t=et * 0.5)
+
+    rp = ResultProcessor.from_npz(str(tmp_path / "a.npz"))
+    ap = rp.ap_inlier_thd(
+        inlier_thds=(0.5, 1.0), mask_thds=(0.0, 0.5), mask_key="mscores"
+    )
+    assert ap["inlier_thd"].shape == (2, 2, S)
+    assert ap["num_corrs"].shape == (2, S)
+    # Unmasked row counts every correspondence; 0.5-mask keeps ~half.
+    assert np.all(ap["num_corrs"][0] == N)
+    assert np.all(ap["num_corrs"][1] < N)
+    # Masked-threshold selectivity changes ratios only through the subset.
+    r_all = rp.inlier_ratio_masked((1.0,))["inlier_ratio"]
+    assert r_all.shape == (1, S)
+
+    tp = ExpTableProcessor({
+        "a": ResultProcessor.from_npz(str(tmp_path / "a.npz")),
+        "b": ResultProcessor.from_npz(str(tmp_path / "b.npz")),
+    })
+    hi = tp.highlights_table([[1.0, 2.0], [2.0, 1.0]], top_k=1)
+    assert hi["table_highlights"].tolist() == [[True, False], [False, True]]
+    hi2 = tp.highlights_table(
+        [[1.0, 2.0], [2.0, 1.0]], reverse_arr=[1, -1], top_k=1
+    )
+    assert hi2["table_highlights"].tolist() == [[False, False],
+                                                [True, True]]
+
+    md = tp.to_markdown(("err_q_median", "err_t_median"), top_k=1)
+    assert md.count("**") == 4  # one bold entry per column
+    assert "_mean_" in md and "_median_" in md
+    # b dominates (halved errors) -> both bolds on b's row.
+    b_row = [l for l in md.split("\n") if l.startswith("| b ")][0]
+    assert b_row.count("**") == 4
+
+    fig = tp.plot_metrics(save_path=str(tmp_path / "t.png"))
+    if fig is not None:
+        assert (tmp_path / "t.png").stat().st_size > 1000
