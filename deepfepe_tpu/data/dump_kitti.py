@@ -215,3 +215,156 @@ def dump_kitti_odometry(
             Rt_cam2_gt=Rt_cam2,
             delta_ijs=delta_ijs,
         )
+
+
+# ---------------------------------------------------------------------------
+# Raw-KITTI lidar / OXTS tooling (dump-time, host-side by design —
+# SURVEY.md §2.4 keeps dump tooling on the host).
+# Rebuild of kitti_tools/utils_kitti.py: pose_from_oxts_packet :289,
+# read_calib_file :318, rectify :173 / :340 (velodyne -> cam0/cam2-frame
+# point clouds, the X_cam0_%06d / X_cam2_%06d dump files the loader's
+# read_what.with_X consumes).
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6378137.0
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
+
+
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+
+
+def pose_from_oxts_packet(
+    lat: float, lon: float, alt: float,
+    roll: float, pitch: float, yaw: float,
+    scale: float,
+) -> np.ndarray:
+    """OXTS GPS/IMU packet -> SE(3) pose [4, 4] (Mercator translation +
+    ZYX Euler rotation; ref: utils_kitti.pose_from_oxts_packet :289-312,
+    itself from pykitti). `scale` = cos(lat0 * pi / 180) of the sequence's
+    first packet."""
+    ty = lat * np.pi * EARTH_RADIUS_M / 180.0
+    tx = scale * lon * np.pi * EARTH_RADIUS_M / 180.0
+    t = np.array([tx, ty, alt], np.float64)
+    R = _rot_z(yaw) @ _rot_y(pitch) @ _rot_x(roll)
+    T = np.eye(4)
+    T[:3, :3], T[:3, 3] = R, t
+    return T
+
+
+def oxts_to_poses(packets: np.ndarray) -> np.ndarray:
+    """[N, 6] (lat lon alt roll pitch yaw) -> [N, 4, 4] poses relative to
+    the first frame (ref: utils_kitti.load_cam_poses :60-100 semantics:
+    scale from the first latitude, origin at the first pose)."""
+    packets = np.asarray(packets, np.float64)
+    scale = np.cos(packets[0, 0] * np.pi / 180.0)
+    Ts = np.stack([pose_from_oxts_packet(*p, scale) for p in packets])
+    return np.linalg.inv(Ts[0]) @ Ts
+
+
+def read_calib_file(path: str) -> dict:
+    """KITTI calib .txt -> {key: float array} (ref: read_calib_file :318)."""
+    data = {}
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, value = line.split(":", 1)
+            try:
+                data[key.strip()] = np.array(
+                    [float(v) for v in value.split()]
+                )
+            except ValueError:
+                data[key.strip()] = value.strip()
+    return data
+
+
+def velo_to_cam_points(
+    velo_xyz: np.ndarray,          # [N, 3] velodyne-frame points
+    Tr_velo_to_cam: np.ndarray,    # [3, 4] or [4, 4]
+    R_rect: np.ndarray,            # [3, 3] cam0 rectifying rotation
+    Rt_cam2: Optional[np.ndarray] = None,  # [4, 4] rectified cam0 -> cam2
+    K: Optional[np.ndarray] = None,        # [3, 3] for in-view filtering
+    image_hw: Optional[Tuple[int, int]] = None,
+):
+    """Velodyne scan -> rectified-cam0 (X_cam0) and cam2 (X_cam2) clouds.
+
+    X_cam0 = R_rect @ Tr @ X_velo; X_cam2 = Rt_cam2 @ homo(X_cam0)
+    (ref: utils_kitti.rectify :173-178 / :340-346). Keeps points in front
+    of the camera; with K + image_hw also only those projecting inside the
+    cam2 image (the reference's `within` mask :193).
+
+    Returns (X_cam0 [M, 3], X_cam2 [M, 3])."""
+    velo_xyz = np.asarray(velo_xyz, np.float64)
+    Tr = np.asarray(Tr_velo_to_cam, np.float64)
+    if Tr.shape == (3, 4):
+        Tr = np.vstack([Tr, [0, 0, 0, 1.0]])
+    R4 = np.eye(4)
+    R4[:3, :3] = R_rect
+    X_h = np.concatenate(
+        [velo_xyz, np.ones((len(velo_xyz), 1))], 1
+    )  # [N, 4]
+    X0_h = (R4 @ Tr @ X_h.T).T          # rectified cam0 frame
+    X0 = X0_h[:, :3] / X0_h[:, 3:4]
+    Rt2 = np.eye(4) if Rt_cam2 is None else np.asarray(Rt_cam2, np.float64)
+    X2_h = (Rt2 @ X0_h.T).T
+    X2 = X2_h[:, :3] / X2_h[:, 3:4]
+
+    keep = X2[:, 2] > 0
+    if K is not None and image_hw is not None:
+        x = X2[keep] @ np.asarray(K, np.float64).T
+        px = x[:, :2] / x[:, 2:3]
+        H, W = image_hw
+        inview = (
+            (px[:, 0] >= 0) & (px[:, 0] < W)
+            & (px[:, 1] >= 0) & (px[:, 1] < H)
+        )
+        idx = np.flatnonzero(keep)
+        keep = np.zeros(len(X2), bool)
+        keep[idx[inview]] = True
+    return X0[keep], X2[keep]
+
+
+def dump_lidar_frames(
+    velo_scans,                    # iterable of [N, 3] or [N, 4] arrays
+    Tr_velo_to_cam: np.ndarray,
+    R_rect: np.ndarray,
+    out_dir: str,
+    Rt_cam2: Optional[np.ndarray] = None,
+    K: Optional[np.ndarray] = None,
+    image_hw: Optional[Tuple[int, int]] = None,
+    use_h5: bool = False,
+) -> int:
+    """Write X_cam0_%06d / X_cam2_%06d per frame (the read_what.with_X
+    files, kitti_odo_corr.py:155-176). Returns the frame count."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def save_arr(base, a):
+        if use_h5:
+            from ..utils.io import saveh5
+
+            saveh5({"arr": np.asarray(a)}, f"{base}.h5")
+        else:
+            np.save(f"{base}.npy", a)
+
+    n = 0
+    for i, scan in enumerate(velo_scans):
+        X0, X2 = velo_to_cam_points(
+            np.asarray(scan)[:, :3], Tr_velo_to_cam, R_rect,
+            Rt_cam2=Rt_cam2, K=K, image_hw=image_hw,
+        )
+        save_arr(out / f"X_cam0_{i:06d}", X0.astype(np.float32))
+        save_arr(out / f"X_cam2_{i:06d}", X2.astype(np.float32))
+        n += 1
+    return n

@@ -302,3 +302,95 @@ def test_with_X_lidar_fields(tmp_path, rng):
     assert len(b["X_cam2s"]) == 2
     with pytest.raises(ValueError):
         next(loader.batches(2, shuffle=False, drop_last=False))
+
+
+def test_oxts_pose_chain():
+    """OXTS packets -> poses: first pose identity, straight-north motion
+    accumulates in +y (Mercator), yaw rotates the body frame
+    (ref: utils_kitti.pose_from_oxts_packet :289)."""
+    from deepfepe_tpu.data.dump_kitti import oxts_to_poses
+
+    lat0 = 49.0
+    packets = np.array([
+        [lat0, 8.43, 112.0, 0.0, 0.0, 0.0],
+        [lat0 + 1e-5, 8.43, 112.0, 0.0, 0.0, 0.0],
+        [lat0 + 2e-5, 8.43, 112.0, 0.0, 0.0, np.pi / 2],
+    ])
+    T = oxts_to_poses(packets)
+    np.testing.assert_allclose(T[0], np.eye(4), atol=1e-12)
+    # 1e-5 deg latitude ~ 1.11 m north.
+    assert 1.0 < T[1][1, 3] < 1.3
+    assert abs(T[1][0, 3]) < 1e-6
+    # yaw 90deg: x-axis of frame 2 points along world +y.
+    np.testing.assert_allclose(
+        T[2][:3, 0], [0.0, 1.0, 0.0], atol=1e-12
+    )
+
+
+def test_velo_to_cam_and_lidar_dump_roundtrip(tmp_path, rng):
+    """Synthetic velodyne scan -> X_cam0/X_cam2 dumps -> with_X loader."""
+    from deepfepe_tpu.data.dump_kitti import (
+        dump_lidar_frames,
+        dump_sequence,
+        velo_to_cam_points,
+    )
+
+    # Calibration: velodyne frame = cam frame rotated (x fwd -> z fwd) +
+    # small offset; rectification = small rotation; cam2 = 0.5 m baseline.
+    Tr = np.array([
+        [0, -1, 0, 0.0],
+        [0, 0, -1, -0.08],
+        [1, 0, 0, -0.27],
+    ], np.float64)
+    th = 0.01
+    R_rect = np.array([
+        [np.cos(th), -np.sin(th), 0],
+        [np.sin(th), np.cos(th), 0],
+        [0, 0, 1],
+    ])
+    Rt_cam2 = np.eye(4); Rt_cam2[0, 3] = -0.5
+    K = np.array([[700.0, 0, 80], [0, 700.0, 60], [0, 0, 1]])
+
+    # Points ahead of the car (velodyne x = forward).
+    velo = np.stack([
+        rng.uniform(5, 40, 500),
+        rng.uniform(-3, 3, 500),
+        rng.uniform(-1.5, 1.5, 500),
+    ], -1)
+    X0, X2 = velo_to_cam_points(
+        velo, Tr, R_rect, Rt_cam2=Rt_cam2, K=K, image_hw=(120, 160)
+    )
+    assert len(X0) == len(X2) > 50
+    # Transform consistency: X2 == Rt_cam2 @ X0.
+    np.testing.assert_allclose(
+        X2, X0 @ Rt_cam2[:3, :3].T + Rt_cam2[:3, 3], atol=1e-9
+    )
+    # In-view: all kept points project inside the image.
+    px = X2 @ K.T
+    px = px[:, :2] / px[:, 2:3]
+    assert np.all((px >= -1e-9) & (px < [160, 120]))
+
+    # Full dump + loader roundtrip (scene with matches + lidar files).
+    ds = SyntheticImagePairs(image_size=(120, 160), seed=11,
+                             max_angle_deg=1.0, t_scale=0.08)
+    item = ds._sample_item()
+    poses = [np.eye(4), item["delta_Rtijs_4_4"].astype(np.float64)]
+    files = []
+    for i, im in enumerate(item["imgs_grey"]):
+        f = tmp_path / f"s{i}.jpg"
+        cv2.imwrite(str(f), (im * 255).astype(np.uint8))
+        files.append(str(f))
+    scene = tmp_path / "00"
+    dump_sequence(files, np.stack([np.linalg.inv(p)[:3] for p in poses]),
+                  ds.K, str(scene))
+    n = dump_lidar_frames(
+        [velo, velo], Tr, R_rect, str(scene), Rt_cam2=Rt_cam2,
+        K=K, image_hw=(120, 160),
+    )
+    assert n == 2
+    loader = KittiCorrDataset(
+        str(tmp_path), good_num=64, image_size=(120, 160), seed=0,
+        with_X=True,
+    )
+    it = loader.get_item(0)
+    np.testing.assert_allclose(it["X_cam2s"][0], X2.astype(np.float32))
