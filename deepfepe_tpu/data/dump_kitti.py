@@ -368,3 +368,151 @@ def dump_lidar_frames(
         save_arr(out / f"X_cam2_{i:06d}", X2.astype(np.float32))
         n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# SuperPoint-based dump creation — the reference's SP dump rows (its tables
+# compare Si[ft] vs SP frontends; utils_kitti.load_SP :436 reads SP dumps).
+# Same file schema as the SIFT path so the loader is frontend-agnostic.
+# ---------------------------------------------------------------------------
+
+
+def sp_detect_frames(
+    greys,                       # iterable of [H, W] grayscale uint8/float
+    sp_params,                   # flax variables (or None -> random init)
+    out_num_points: int = 1000,
+    conf_thresh: float = 1e-3,
+    net=None,
+):
+    """Run the SuperPoint frontend on each frame (host-side batch-1 calls;
+    dump tooling stays off the training chip by design).
+
+    Returns list of (pts [Ni, 2] float32, desc [Ni, D] float32)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    from ..frontend import FrontendParams, SuperPointNet
+    from ..frontend.pipeline import run_superpoint
+
+    net = net or SuperPointNet()
+    fp = FrontendParams(
+        out_num_points=out_num_points, conf_thresh=conf_thresh
+    )
+    out = []
+    run = jax.jit(
+        lambda p, im: run_superpoint(net, p, im, fp)
+    )
+    for g in greys:
+        img = np.asarray(g, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        kp = run(sp_params, jnp.asarray(img)[None])
+        valid = np.asarray(kp.valid[0])
+        pts = np.asarray(kp.xy[0] + kp.offsets[0])[valid]
+        desc = np.asarray(kp.desc[0])[valid]
+        out.append((pts.astype(np.float32), desc.astype(np.float32)))
+    return out
+
+
+def dump_sequence_sp(
+    image_files: Sequence[str],
+    poses: np.ndarray,
+    K: np.ndarray,
+    out_dir: str,
+    sp_params,
+    Rt_cam2_gt: Optional[np.ndarray] = None,
+    delta_ijs: Sequence[int] = (1,),
+    out_num_points: int = 1000,
+    nn_thresh: float = 1.0,
+    use_h5: bool = False,
+    net=None,
+) -> None:
+    """Write one scene in the reference dump layout with a SUPERPOINT
+    frontend instead of SIFT: mutual-NN matches, quality col0 = descriptor
+    distance scaled by 300 so the loader's SIFT-era /300 normalization
+    (kitti_odo_corr.py:503) returns the raw distance in [0, 2]."""
+    import cv2
+
+    import jax.numpy as jnp
+
+    from ..frontend.matching import mutual_nn_match
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "cam.npy", K.astype(np.float32))
+    np.save(out / "poses.npy", poses.astype(np.float32))
+    np.save(
+        out / "Rt_cam2_gt.npy",
+        (Rt_cam2_gt if Rt_cam2_gt is not None else np.eye(4)).astype(
+            np.float64
+        ),
+    )
+
+    def save_arr(base, a):
+        if use_h5:
+            from ..utils.io import saveh5
+
+            saveh5({"arr": np.asarray(a)}, f"{base}.h5")
+        else:
+            np.save(f"{base}.npy", a)
+
+    greys = []
+    for i, f in enumerate(image_files):
+        img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise IOError(f"cannot read {f}")
+        greys.append(img)
+        cv2.imwrite(str(out / f"{i:06d}.jpg"), img)
+
+    feats = sp_detect_frames(
+        greys, sp_params, out_num_points=out_num_points, net=net
+    )
+    for i, (p, d) in enumerate(feats):
+        # sift_%06d schema: x y + descriptor rows (D=256 here vs SIFT 128;
+        # the loader slices [:, 2:] so the width is self-describing).
+        save_arr(out / f"sift_{i:06d}", np.concatenate([p, d], 1))
+    K_pad = max(len(p) for p, _ in feats) if feats else 0
+    for i in range(len(greys)):
+        for dij in delta_ijs:
+            j = i + dij
+            if j >= len(greys):
+                continue
+            p1, d1 = feats[i]
+            p2, d2 = feats[j]
+            if len(p1) == 0 or len(p2) == 0:
+                continue
+
+            def pad(p, d):
+                k = K_pad - len(p)
+                return (
+                    np.pad(p, ((0, k), (0, 0))),
+                    np.pad(d, ((0, k), (0, 0))),
+                    np.arange(K_pad) < len(p),
+                )
+
+            p1p, d1p, v1 = pad(p1, d1)
+            p2p, d2p, v2 = pad(p2, d2)
+            m = mutual_nn_match(
+                jnp.asarray(d1p)[None], jnp.asarray(d2p)[None],
+                jnp.asarray(v1)[None], jnp.asarray(v2)[None],
+                nn_thresh=nn_thresh,
+            )
+            keep = np.asarray(m.valid[0])
+            i1 = np.asarray(m.idx1[0])[keep]
+            i2 = np.asarray(m.idx2[0])[keep]
+            scores = np.asarray(m.scores[0])[keep]
+            # [x1 y1 x2 y2 quality ratio-slot]
+            mat = np.concatenate(
+                [
+                    p1[i1], p2[i2],
+                    (scores * 300.0)[:, None],
+                    scores[:, None],
+                ],
+                1,
+            ).astype(np.float32)
+            idx = np.stack([i1, i2], 1).astype(np.int32)
+            save_arr(out / f"ij_match_quality_{i}-{j}_all", mat)
+            save_arr(out / f"ij_match_quality_{i}-{j}_good", mat)
+            save_arr(out / f"ij_idx_{i}-{j}_all_ij", idx)
+            save_arr(out / f"ij_idx_{i}-{j}_good_ij", idx)

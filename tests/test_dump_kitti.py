@@ -394,3 +394,47 @@ def test_velo_to_cam_and_lidar_dump_roundtrip(tmp_path, rng):
     )
     it = loader.get_item(0)
     np.testing.assert_allclose(it["X_cam2s"][0], X2.astype(np.float32))
+
+
+def test_sp_dump_and_reload(tmp_path):
+    """SuperPoint-frontend dump tree -> same loader schema as SIFT dumps
+    (ref: the Si vs SP frontend table rows; utils_kitti.load_SP :436)."""
+    import jax
+
+    from deepfepe_tpu.data.dump_kitti import dump_sequence_sp
+    from deepfepe_tpu.frontend import SuperPointNet
+
+    ds = SyntheticImagePairs(image_size=(120, 160), seed=12,
+                             max_angle_deg=1.0, t_scale=0.08)
+    item = ds._sample_item()
+    poses = [np.eye(4), item["delta_Rtijs_4_4"].astype(np.float64)]
+    files = []
+    for i, im in enumerate(item["imgs_grey"]):
+        f = tmp_path / f"s{i}.jpg"
+        cv2.imwrite(str(f), (im * 255).astype(np.uint8))
+        files.append(str(f))
+
+    net = SuperPointNet()
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 120, 160, 1))
+    )
+    scene = tmp_path / "00"
+    dump_sequence_sp(
+        files, np.stack([np.linalg.inv(p)[:3] for p in poses]), ds.K,
+        str(scene), params, out_num_points=200, nn_thresh=1.5, net=net,
+    )
+    assert (scene / "ij_match_quality_0-1_good.npy").is_file()
+    s0 = np.load(scene / "sift_000000.npy")
+    assert s0.shape[1] == 2 + 256  # x y + SP descriptor
+
+    loader = KittiCorrDataset(
+        str(tmp_path), good_num=64, image_size=(120, 160), seed=0,
+        with_sift_des=True,
+    )
+    assert len(loader) == 1
+    it = loader.get_item(0)
+    assert it["matches_xy_ori"].shape == (64, 4)
+    assert it["des_good"].shape == (64, 512)  # per-match desc pair
+    # Quality col survives the loader's /300 normalization as the raw
+    # descriptor distance (in [0, 2]).
+    assert np.all(it["quality"] >= 0) and np.all(it["quality"] <= 2.0)
