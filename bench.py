@@ -262,9 +262,18 @@ def bench_ransac():
 
 
 def main():
+    import sys
+
+    def note(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
+
+    note("bench: solver step...")
     pairs_per_s = bench_solver_step()
+    note(f"bench: solver {pairs_per_s:.1f} pairs/s; reference baseline...")
     ref_pairs_per_s, ref_kind = measure_reference_baseline()
+    note(f"bench: reference {ref_pairs_per_s:.2f} ({ref_kind}); joint step...")
     joint = bench_joint_step()
+    note(f"bench: joint {joint:.2f} pairs/s; ransac...")
     ransac = bench_ransac()
 
     print(

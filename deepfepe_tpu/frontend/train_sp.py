@@ -248,6 +248,43 @@ def make_detector_train_step(net: SuperPointNet, tx: optax.GradientTransformatio
     return step
 
 
+def make_detector_train_step_bn(net, tx: optax.GradientTransformation):
+    """Detector train step for BatchNorm nets (SuperPointNetGauss2): BN
+    runs in batch-stat mode (train=True) with the running statistics
+    threaded through the step as part of the variables dict."""
+
+    @jax.jit
+    def step(variables, opt_state, batch):
+        stats = variables.get("batch_stats", {})
+
+        def loss_fn(p):
+            outs, new_vars = net.apply(
+                {"params": p, "batch_stats": stats},
+                batch["image"][..., None],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return (
+                detector_loss(outs["semi"], batch["cells"]),
+                new_vars["batch_stats"],
+            )
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(variables["params"])
+        updates, opt_state = tx.update(
+            grads, opt_state, variables["params"]
+        )
+        params = optax.apply_updates(variables["params"], updates)
+        return (
+            {"params": params, "batch_stats": new_stats},
+            opt_state,
+            loss,
+        )
+
+    return step
+
+
 def make_joint_sp_train_step(
     net: SuperPointNet, tx: optax.GradientTransformation,
     desc_weight: float = 1e-4,

@@ -217,3 +217,43 @@ def test_corner_textures_labels_match_rendered_corners():
                                          rng.uniform(2, H - 3))
                                for _ in range(300)) if v is not None]
     assert np.median(vars_at_corners) > 3.0 * np.median(vars_random)
+
+
+def test_gauss2_detector_trains():
+    """SuperPointNetGauss2 (the reference's BN variant) trains through the
+    BN-aware detector step: CE drops, running BN stats move."""
+    from deepfepe_tpu.frontend import SuperPointNetGauss2
+    from deepfepe_tpu.frontend.train_sp import (
+        SyntheticShapes,
+        make_detector_train_step_bn,
+    )
+
+    ds = SyntheticShapes(image_size=(64, 96), seed=0)
+    net = SuperPointNetGauss2()
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 1))
+    )
+    variables = dict(variables)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+    step = make_detector_train_step_bn(net, tx)
+
+    stats0 = jax.device_get(variables["batch_stats"])
+    losses = []
+    for _ in range(25):
+        batch = ds.batch(4)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        variables, opt_state, loss = step(variables, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.4, losses[::6]  # 25 iters: ~4.7 -> ~4.0
+    # Running statistics actually updated.
+    moved = any(
+        np.any(np.asarray(a) != np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(stats0),
+            jax.tree_util.tree_leaves(
+                jax.device_get(variables["batch_stats"])
+            ),
+        )
+    )
+    assert moved
