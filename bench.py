@@ -136,6 +136,25 @@ def bench_solver_step():
         trainer.state, m = trainer.train_step(trainer.state, sharded, 0.1, 0.5)
     float(np.asarray(m["loss"]))
 
+    # Adapt the iteration budget to the observed per-step wall time: on a
+    # pathological tunnel day a fixed 50/100-iter protocol can run for an
+    # hour; the marginal-cost math is the same at smaller k.
+    t0 = time.perf_counter()
+    for _ in range(3):
+        trainer.state, m = trainer.train_step(trainer.state, sharded, 0.1, 0.5)
+    float(np.asarray(m["loss"]))
+    per_step = (time.perf_counter() - t0) / 3
+    iters = ITERS
+    repeats = REPEATS
+    if per_step > 0.1:
+        iters = max(5, int(6.0 / per_step))
+        repeats = 1
+        print(
+            f"# slow device ({per_step*1e3:.0f} ms/step observed); "
+            f"reducing to {iters} iters x {repeats}",
+            flush=True,
+        )
+
     def run(iters: int) -> float:
         t0 = time.perf_counter()
         m_local = None
@@ -153,10 +172,10 @@ def bench_solver_step():
     # latency is noisy on tunneled platforms, so take the best of several
     # repeats (min marginal time).
     dts = []
-    for _ in range(REPEATS):
-        t_short = run(ITERS)
-        t_long = run(2 * ITERS)
-        dts.append(max(t_long - t_short, 1e-9) / ITERS)
+    for _ in range(repeats):
+        t_short = run(iters)
+        t_long = run(2 * iters)
+        dts.append(max(t_long - t_short, 1e-9) / iters)
     dt = min(dts)
     return BATCH / dt
 
