@@ -47,8 +47,13 @@ import os
 # ops/pallas/matcher_pallas.py — [K, K] distance tiles stay in VMEM).
 # Global override via DEEPFEPE_MATCHER_IMPL. 'auto' picks pallas on TPU at
 # SP production fan-outs (K >= PALLAS_MATCHER_MIN_K), xla otherwise.
+# Measured on one v5e chip (B=8, D=256, f32): pallas 0.58 ms vs xla
+# 1.74 ms at K=1024 (3.0x), 0.95 vs 1.62 ms at K=2048 (1.7x); below
+# K~512 the tunnel-noise floor swamped the marginal-cost protocol, so the
+# threshold is set to cover the SP production fan-out (out_num_points
+# ~1000-2000) and leave small eval fan-outs on the fused XLA path.
 DEFAULT_MATCHER_BACKEND = os.environ.get("DEEPFEPE_MATCHER_IMPL", "auto")
-PALLAS_MATCHER_MIN_K = 512
+PALLAS_MATCHER_MIN_K = 768
 
 
 def mutual_nn_match(

@@ -18,7 +18,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _matcher_kernel(d1_ref, d2_ref, nn12_ref, nn21_ref, dist12_ref):
-    # d1_ref/d2_ref: [1, K, D]; outputs: [1, K] each (as [1, K] int32/f32).
+    # d1_ref/d2_ref: [1, K, D]; outputs: [1, 1, K] each (the singleton
+    # middle axis keeps the block's last-two dims TPU-tileable — a plain
+    # [1, K] output block fails Mosaic's divisible-by-8 rule for B > 1).
     d1 = d1_ref[0]  # [K, D]
     d2 = d2_ref[0]
     # Similarity on the MXU; distance = sqrt(2 - 2 dot) is monotone in -dot,
@@ -27,11 +29,11 @@ def _matcher_kernel(d1_ref, d2_ref, nn12_ref, nn21_ref, dist12_ref):
     nn12 = jnp.argmax(dot, axis=1)
     nn21 = jnp.argmax(dot, axis=0)
     best12 = jnp.max(dot, axis=1)
-    nn12_ref[0, :] = nn12.astype(jnp.int32)
-    nn21_ref[0, :] = nn21.astype(jnp.int32)
-    dist12_ref[0, :] = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best12, 0.0)).astype(
-        dist12_ref.dtype
-    )
+    nn12_ref[0, 0, :] = nn12.astype(jnp.int32)
+    nn21_ref[0, 0, :] = nn21.astype(jnp.int32)
+    dist12_ref[0, 0, :] = jnp.sqrt(
+        jnp.maximum(2.0 - 2.0 * best12, 0.0)
+    ).astype(dist12_ref.dtype)
 
 
 @jax.jit
@@ -59,16 +61,17 @@ def mutual_nn_pallas(
             pl.BlockSpec((1, K, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, K), jnp.int32),
-            jax.ShapeDtypeStruct((B, K), jnp.int32),
-            jax.ShapeDtypeStruct((B, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, K), jnp.float32),
         ),
     )(d1, d2)
+    nn12, nn21, dist12 = nn12[:, 0], nn21[:, 0], dist12[:, 0]
 
     i_idx = jnp.arange(K)
     mutual = (
