@@ -209,3 +209,52 @@ def test_full_step_with_n_axis_gspmd_sharding():
     )
     cos = np.dot(v0, v1) / (np.linalg.norm(v0) * np.linalg.norm(v1))
     assert cos > 1 - 1e-5, cos
+
+
+@pytest.mark.slow
+def test_eval_vo_pass_mesh_consistency():
+    """The VO eval pass (eval_step -> val_rt_batch) produces identical
+    per-pair pose estimates on a 1-device and an 8-device data mesh
+    (VERDICT round-1 item 5 tail: eval_vo consistency vs single-device)."""
+    import numpy as np
+
+    from deepfepe_tpu.data.synthetic_sequence import SyntheticSequence
+    from deepfepe_tpu.eval import val_rt_batch
+    from deepfepe_tpu.parallel import make_mesh, shard_batch
+    from deepfepe_tpu.train import Config, Trainer
+    from deepfepe_tpu.models import DeepFNet
+
+    cfg = Config()
+    cfg.data.good_num = 128
+    cfg.model.depth = 2
+    cfg.model.if_quality = True
+    net = DeepFNet(depth=2, image_size=(376, 1241), if_quality=True)
+
+    seq = SyntheticSequence(
+        n_frames=9, good_num=128, noise_px=0.5, outlier_frac=0.1, seed=5
+    )
+    batches = list(seq.pair_batches(8))
+
+    results = {}
+    for n_data in (1, 8):
+        mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
+        trainer = Trainer(net, cfg, mesh=mesh)
+        trainer.init_state(batches[0])
+        Ms, eqs = [], []
+        for batch in batches:
+            b = shard_batch(mesh, batch)
+            metrics = trainer.eval_step(trainer.state.params, b)
+            rt = val_rt_batch(
+                metrics["E_ests"], b["Ks"], b["matches_xy_ori"],
+                b["E_gts"], b["delta_Rtijs_4_4"],
+            )
+            Ms.append(np.asarray(rt["M_est"]))
+            eqs.append(np.asarray(rt["err_q_est"]))
+        results[n_data] = (np.concatenate(Ms), np.concatenate(eqs))
+
+    M1, e1 = results[1]
+    M8, e8 = results[8]
+    np.testing.assert_allclose(M1, M8, atol=2e-5)
+    # f32 reduction-order differences across mesh layouts amplify through
+    # the E decomposition to ~1e-3 deg on angle errors.
+    np.testing.assert_allclose(e1, e8, atol=5e-3)
