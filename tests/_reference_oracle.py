@@ -90,6 +90,7 @@ def load_reference():
     from deepFEPE.dsac_tools import utils_geo as ref_utils_geo  # noqa: E402
 
     ns = types.SimpleNamespace(
+        load_dataset_cls=_load_dataset_cls,
         DeepFNet=DeepFNet,
         Fit=Fit,
         NormalizeAndExpand=NormalizeAndExpand,
@@ -99,3 +100,73 @@ def load_reference():
     )
     _loaded["ns"] = ns
     return ns
+
+
+class _StrPath(str):
+    """Minimal stand-in for the `path` package's str-subclass Path —
+    kitti_odo_corr slices it like a string (frame[0][-2:]) AND joins with
+    the / operator, so pathlib won't do."""
+
+    def __truediv__(self, other):
+        import os
+
+        return _StrPath(os.path.join(str(self), str(other)))
+
+    __div__ = __truediv__
+
+    @property
+    def name(self):
+        import os
+
+        return _StrPath(os.path.basename(str(self)))
+
+
+def _load_dataset_cls():
+    """Import the reference's live KittiCorrOdo dataset class (stubs the
+    `path` and `skimage` imports its module head needs)."""
+    load_reference()  # base stubs + sys.path
+
+    pathmod = _stub("path")
+    pathmod.Path = _StrPath
+    # utils_kitti imports pykitti at module level; only the raw-dump-time
+    # KittiLoader needs it (load_as_array & co. don't).
+    _stub("pykitti", raw=None)
+    # py3.10 removed the collections.Mapping alias utils/tools.py uses.
+    import collections
+    import collections.abc
+
+    if not hasattr(collections, "Mapping"):
+        collections.Mapping = collections.abc.Mapping
+    _stub("coloredlogs", install=lambda *a, **k: None)
+    _stub(
+        "termcolor",
+        colored=lambda text, *a, **k: text,
+        cprint=lambda text, *a, **k: print(text),
+    )
+    sk = _stub("skimage")
+    skt = _stub("skimage.transform")
+
+    def _resize(img, shape, **kw):
+        import cv2
+        import numpy as np
+
+        out = cv2.resize(
+            np.asarray(img), (int(shape[1]), int(shape[0])),
+            interpolation=cv2.INTER_AREA,
+        )
+        return out
+
+    skt.resize = _resize
+    sk.transform = skt
+
+    def _adjust_gamma(img, gamma=1.0, gain=1.0):
+        import numpy as np
+
+        return gain * np.asarray(img) ** gamma
+
+    sk.exposure = _stub("skimage.exposure")
+    sk.exposure.adjust_gamma = _adjust_gamma
+
+    from deepFEPE.datasets.kitti_odo_corr import KittiCorrOdo  # noqa: E402
+
+    return KittiCorrOdo
