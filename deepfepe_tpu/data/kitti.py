@@ -147,7 +147,19 @@ class KittiCorrDataset:
                 if not good.is_file():
                     continue
                 rel = np.linalg.inv(rt_pad_np(poses[j])) @ rt_pad_np(poses[i])
-                if self.cam_id == "02":
+                # Reference scene names carry the camera id as a suffix
+                # (kitti '00_02', apollo '..._1'/'..._5'; kitti_odo_corr.py
+                # :66-69) and the cam0->cam2 conjugation applies only to
+                # cam '02' (:202-207). Infer per scene; fall back to the
+                # constructor cam_id for unsuffixed (synthetic) trees.
+                cam_id = self.cam_id
+                for suf, cid in (
+                    ("_02", "02"), ("_00", "00"), ("_1", "_1"), ("_5", "_5")
+                ):
+                    if scene_name.endswith(suf):
+                        cam_id = cid
+                        break
+                if cam_id == "02":
                     rel = Rt_cam2_gt @ rel @ np.linalg.inv(Rt_cam2_gt)
                 self.samples.append(
                     dict(
