@@ -422,6 +422,150 @@ def cmd_val_feature(args):
     return summary
 
 
+def cmd_infer(args):
+    """Serving entry: two images (+ intrinsics) -> relative pose JSON.
+
+    Frontend: SuperPoint when --pretrained_SP is given (classic or gauss2
+    .pth[.tar]/msgpack auto-detected), SIFT+ratio-match otherwise. Solver:
+    the trained DeepFNet; E decomposed with cheirality voting
+    (geometry.recover_pose). The single-shot product surface the reference
+    only offers through notebooks (eval_tools.py:587-2100)."""
+    import cv2
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from .data.kitti import crop_or_pad_choice
+    from .geometry.decompose import recover_pose
+    from .geometry.epipolar import F_to_E, epi_distance
+    from .models import DeepFNet
+
+    g1 = cv2.imread(args.img1, cv2.IMREAD_GRAYSCALE)
+    g2 = cv2.imread(args.img2, cv2.IMREAD_GRAYSCALE)
+    if g1 is None or g2 is None:
+        raise SystemExit(f"cannot read {args.img1} / {args.img2}")
+    H, W = g1.shape[:2]
+    if args.K:
+        fx, fy, cx, cy = (float(v) for v in args.K.split(","))
+    else:
+        fx = fy = 1.2 * max(H, W)
+        cx, cy = W / 2.0, H / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]], np.float64)
+
+    N = args.good_num
+    if args.pretrained_SP:
+        from .frontend import (
+            FrontendParams,
+            SuperPointNet,
+            SuperPointNetGauss2,
+            get_matches_from_sp,
+        )
+
+        imgs = np.stack([g1, g2]).astype(np.float32) / 255.0
+        sp_net = SuperPointNet()
+        converted = None
+        if args.pretrained_SP.endswith((".pth", ".pth.tar")):
+            from .utils.torch_import import load_reference_checkpoint
+
+            converted, _ = load_reference_checkpoint(
+                args.pretrained_SP, kind="auto"
+            )
+            if "batch_stats" in converted:
+                sp_net = SuperPointNetGauss2()
+        sp_params = sp_net.init(
+            jax.random.PRNGKey(0), jnp.asarray(imgs[:1])[..., None]
+        )
+        if converted is not None:
+            sp_params = serialization.from_state_dict(sp_params, converted)
+        elif args.pretrained_SP:
+            with open(args.pretrained_SP, "rb") as f:
+                sp_params = serialization.from_bytes(sp_params, f.read())
+        fp = FrontendParams(out_num_points=N, conf_thresh=1e-3)
+        sp_out = get_matches_from_sp(
+            sp_net, sp_params,
+            (jnp.asarray(imgs[0])[None], jnp.asarray(imgs[1])[None]),
+            fp,
+        )
+        matches = np.asarray(sp_out["matches_xy_ori"][0])
+        quality = np.asarray(sp_out["quality"][0])
+        n_real = int(np.asarray(sp_out["valid"][0]).sum())
+    else:
+        from .data.dump_kitti import match_pair
+
+        good = match_pair(g1, g2, n_features=2 * N)[1]
+        n_real = len(good)
+        if n_real < 8:
+            raise SystemExit(f"only {n_real} matches")
+        choice = crop_or_pad_choice(n_real, N, np.random.RandomState(0))
+        matches = good[choice, :4].astype(np.float32)
+        quality = (good[choice, 4:5] / 300.0).astype(np.float32)
+
+    db = {
+        "matches_xy_ori": jnp.asarray(matches)[None],
+        "quality": jnp.asarray(quality)[None],
+        "matches_good_unique_nums": jnp.asarray([min(n_real, N)]),
+        "Ks": jnp.asarray(K, jnp.float32)[None],
+        "t_scene_scale": jnp.ones((1, 1), jnp.float32),
+    }
+
+    cfg = None
+    if args.config:
+        from .train.config import load_config
+
+        cfg = load_config(args.config)
+        from .loader import model_loader
+
+        net = model_loader(cfg).clone(image_size=(H, W))
+    else:
+        net = DeepFNet(depth=5, image_size=(H, W), if_quality=True)
+
+    template = net.init(
+        {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)},
+        db,
+    )
+    if args.pretrained.endswith((".pth", ".pth.tar")):
+        from .utils.torch_import import load_reference_checkpoint
+
+        variables, _ = load_reference_checkpoint(args.pretrained, kind="deepf")
+        params = serialization.from_state_dict(template, variables)
+    else:
+        from .eval.val_pipeline import load_params_msgpack
+
+        params = load_params_msgpack(args.pretrained, template)
+
+    outs = net.apply(params, db)
+    F_pix = jnp.swapaxes(outs["T2"], -1, -2) @ outs["F_est"] @ outs["T1"]
+    E = F_to_E(F_pix, db["Ks"])
+
+    K_inv = np.linalg.inv(K)
+    homo = lambda x: np.concatenate([x, np.ones_like(x[..., :1])], -1)
+    x1n = homo(matches[:, :2]) @ K_inv.T
+    x2n = homo(matches[:, 2:4]) @ K_inv.T
+    rec = recover_pose(
+        E.astype(jnp.float64), jnp.asarray(x1n)[None], jnp.asarray(x2n)[None]
+    )
+    d, _, _ = epi_distance(
+        F_pix[0].astype(jnp.float64),
+        jnp.asarray(matches[:, :2], jnp.float64),
+        jnp.asarray(matches[:, 2:4], jnp.float64),
+    )
+    d = np.asarray(d)
+    out = {
+        "R": np.asarray(rec.R[0]).tolist(),
+        "t_unit": np.asarray(rec.t[0]).tolist(),
+        "E": np.asarray(E[0]).tolist(),
+        "num_matches": n_real,
+        "epi_inlier_ratio_1px": float(np.mean(d < 1.0)),
+        "epi_median_px": float(np.median(d)),
+        "frontend": "superpoint" if args.pretrained_SP else "sift",
+    }
+    txt = json.dumps(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt)
+    print(txt)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("deepfepe_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -460,6 +604,20 @@ def main(argv=None):
                         help="capture an xprof device trace of a few "
                              "training iterations into this directory")
         sp.set_defaults(fn=fn)
+    sp = sub.add_parser("infer", help="two images -> relative pose JSON")
+    sp.add_argument("img1")
+    sp.add_argument("img2")
+    sp.add_argument("--pretrained", required=True,
+                    help="DeepF checkpoint (.msgpack or reference .pth.tar)")
+    sp.add_argument("--pretrained_SP", default="",
+                    help="SuperPoint checkpoint; SIFT frontend when absent")
+    sp.add_argument("--K", default="",
+                    help="fx,fy,cx,cy (default: 1.2*max(H,W) focal, center pp)")
+    sp.add_argument("--config", default="",
+                    help="model config YAML (default: flagship depth-5)")
+    sp.add_argument("--good_num", type=int, default=1000)
+    sp.add_argument("--out", default="", help="also write JSON here")
+    sp.set_defaults(fn=cmd_infer)
     args = p.parse_args(argv)
     return args.fn(args)
 

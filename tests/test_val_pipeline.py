@@ -128,3 +128,62 @@ def test_val_pipeline_superpoint_mode(tmp_path):
     assert np.isfinite(result["val"]["err_q_est"]).all()
     figs = vp.plot_one_sample(result, item=1, save_dir=str(tmp_path / "p"))
     assert os.path.exists(tmp_path / "p" / "corr_1.png")
+
+
+def test_cli_infer_smoke(tmp_path):
+    """`infer img1 img2 --pretrained ...` -> pose JSON (serving surface)."""
+    import json
+
+    import cv2
+    import yaml
+    from flax import serialization
+
+    from deepfepe_tpu.cli import main
+    from deepfepe_tpu.data.synthetic_images import SyntheticImagePairs
+    from deepfepe_tpu.models import DeepFNet
+
+    ds = SyntheticImagePairs(image_size=(120, 160), seed=33,
+                             max_angle_deg=2.0, t_scale=0.15)
+    item = ds._sample_item()
+    p1, p2 = tmp_path / "a.png", tmp_path / "b.png"
+    cv2.imwrite(str(p1), (item["imgs_grey"][0] * 255).astype(np.uint8))
+    cv2.imwrite(str(p2), (item["imgs_grey"][1] * 255).astype(np.uint8))
+
+    cfg = {"model": {"depth": 2, "if_quality": True},
+           "data": {"dataset": "synthetic", "good_num": 128},
+           "exps": {}, "training": {}}
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    net = DeepFNet(depth=2, image_size=(120, 160), if_quality=True)
+    db = {
+        "matches_xy_ori": jnp.zeros((1, 128, 4)),
+        "quality": jnp.zeros((1, 128, 1)),
+        "matches_good_unique_nums": jnp.asarray([128]),
+    }
+    params = net.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        db,
+    )
+    ckpt = tmp_path / "p.msgpack"
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+    out_path = tmp_path / "pose.json"
+    K = item["Ks"]
+    res = main([
+        "infer", str(p1), str(p2),
+        "--pretrained", str(ckpt),
+        "--config", str(cfg_path),
+        "--K", f"{K[0,0]},{K[1,1]},{K[0,2]},{K[1,2]}",
+        "--good_num", "128",
+        "--out", str(out_path),
+    ])
+    saved = json.loads(out_path.read_text())
+    for k in ("R", "t_unit", "E", "num_matches", "epi_inlier_ratio_1px"):
+        assert k in saved, k
+    R = np.array(saved["R"])
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert abs(np.linalg.norm(saved["t_unit"]) - 1.0) < 1e-5
+    assert saved["num_matches"] > 8
