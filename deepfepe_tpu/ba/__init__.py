@@ -10,6 +10,7 @@ from .bundle_adjustment import (
     schur_reduce,
 )
 from .distributed import make_distributed_ba_step, shard_ba_inputs
+from .sqrt_ba import optimize_sqrt_ba, sqrt_ba_step
 from .pose_graph import (
     PoseGraph,
     edge_residuals,

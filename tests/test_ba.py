@@ -261,3 +261,51 @@ def test_distributed_ba_matches_single_device(rng):
         poses, pts, c = step(poses, pts, obs, vis, prob.K)
         costs.append(float(c))
     assert costs[-1] < costs[0] * 1e-2, costs
+
+
+def test_sqrt_ba_step_matches_schur(rng):
+    """One damped-GN step via QR marginalization == the Schur step (both
+    solve the same Levenberg system; f64)."""
+    from deepfepe_tpu.ba.sqrt_ba import sqrt_ba_step
+
+    prob, _, _ = _make_ba_problem(rng, C=4, P=48, perturb=0.2)
+    prob = ba.BAProblem(*[jnp.asarray(a, jnp.float64) for a in prob])
+
+    p_schur, info_s = ba.ba_step(prob, damping=1e-3)
+    p_sqrt, info_q = sqrt_ba_step(prob, damping=1e-3)
+
+    assert bool(info_s["accepted"]) and bool(info_q["accepted"])
+    np.testing.assert_allclose(
+        np.asarray(p_sqrt.poses), np.asarray(p_schur.poses),
+        rtol=0, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_sqrt.points), np.asarray(p_schur.points),
+        rtol=0, atol=1e-7,
+    )
+    assert abs(float(info_q["new_cost"]) - float(info_s["new_cost"])) < 1e-8
+
+
+def test_sqrt_ba_converges_in_f32(rng):
+    """The square-root path keeps full convergence in pure float32 — the
+    working precision the Schur normal equations squander (the point of
+    sqrt-BA on TPUs, PAPERS.md Demmel et al. 2021)."""
+    from deepfepe_tpu.ba.sqrt_ba import optimize_sqrt_ba
+
+    prob, _, _ = _make_ba_problem(rng, C=4, P=64, perturb=0.3)
+    prob32 = ba.BAProblem(*[jnp.asarray(a, jnp.float32) for a in prob])
+
+    r0, _ = ba.reprojection_residuals(prob32)
+    cost0 = float(jnp.sum(r0**2))
+    out, costs = optimize_sqrt_ba(prob32, iters=12, damping=1e-4)
+    assert out.points.dtype == jnp.float32
+    r1, _ = ba.reprojection_residuals(out)
+    cost1 = float(jnp.sum(r1**2))
+    assert cost1 < cost0 * 1e-3, (cost0, cost1)
+
+    # And it matches the f64 Schur optimum's cost to f32 precision.
+    prob64 = ba.BAProblem(*[jnp.asarray(a, jnp.float64) for a in prob])
+    ref, _ = ba.optimize_ba(prob64, iters=12, damping=1e-4)
+    rr, _ = ba.reprojection_residuals(ref)
+    ref_cost = float(jnp.sum(rr**2))
+    assert cost1 <= ref_cost * 1.5 + 1e-6, (cost1, ref_cost)
