@@ -9,7 +9,11 @@ from .bundle_adjustment import (
     reprojection_residuals,
     schur_reduce,
 )
-from .distributed import make_distributed_ba_step, shard_ba_inputs
+from .distributed import (
+    make_distributed_ba_step,
+    make_distributed_sqrt_ba_step,
+    shard_ba_inputs,
+)
 from .sqrt_ba import optimize_sqrt_ba, sqrt_ba_step
 from .pose_graph import (
     PoseGraph,

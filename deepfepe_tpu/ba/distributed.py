@@ -110,3 +110,106 @@ def shard_ba_inputs(mesh: Mesh, points, obs, vis):
         jax.device_put(obs, s_cp),
         jax.device_put(vis, s_cp),
     )
+
+
+def make_distributed_sqrt_ba_step(
+    mesh: Mesh, damping: float = 1e-4, fix_cameras: int = 1
+):
+    """Distributed SQUARE-ROOT BA step: landmark shards eliminated by local
+    QR, pose system combined by TSQR (tall-skinny QR) over ICI.
+
+    Normal equations are never formed anywhere — each shard reduces its
+    nullspace-projected rows to one [6C+1, 6C+1] triangular factor of the
+    augmented system [A | b]; the factors are all-gathered (the only
+    collective: D*(6C+1)^2 floats over ICI), stacked with the sqrt(λ)
+    damping rows and re-factorized, and the triangular pose solve is
+    replicated. Same f32-stable math as ba/sqrt_ba.py (Demmel et al. 2021,
+    distributed TSQR flavor); landmark back-substitution stays local.
+    """
+
+    def step(poses, points, obs, vis, K):
+        C = poses.shape[0]
+        dtype = points.dtype
+        sqrt_l = jnp.sqrt(jnp.asarray(damping, dtype))
+        free = (jnp.arange(6 * C) >= 6 * fix_cameras).astype(dtype)
+
+        def shard_fn(poses, points_l, obs_l, vis_l, K):
+            p_l = BAProblem(
+                poses=poses, points=points_l, obs=obs_l, vis=vis_l, K=K
+            )
+            from .sqrt_ba import _stacked_jacobians
+
+            r_l, J_l, J_p, cost_l = _stacked_jacobians(p_l)
+            Pl = points_l.shape[0]
+            pad_l = jnp.broadcast_to(
+                sqrt_l * jnp.eye(3, dtype=dtype), (Pl, 3, 3)
+            )
+            J_l_aug = jnp.concatenate([J_l, pad_l], axis=1)
+            J_p_aug = jnp.concatenate(
+                [J_p, jnp.zeros((Pl, 3, 6 * C), dtype)], axis=1
+            )
+            r_aug = jnp.concatenate(
+                [r_l, jnp.zeros((Pl, 3), dtype)], axis=1
+            )
+            Q, R_full = jnp.linalg.qr(J_l_aug, mode="complete")
+            R_land = R_full[:, :3, :]
+            Jp_rot = jnp.einsum("pmi,pmk->pik", Q, J_p_aug)
+            r_rot = jnp.einsum("pmi,pm->pi", Q, r_aug)
+
+            # Local nullspace rows, gauge-masked, with b as an extra column.
+            A_loc = Jp_rot[:, 3:, :].reshape(-1, 6 * C) * free[None, :]
+            b_loc = r_rot[:, 3:].reshape(-1, 1)
+            Ab = jnp.concatenate([A_loc, b_loc], axis=1)
+
+            # Local TSQR reduction to one triangular factor.
+            R_loc = jnp.linalg.qr(Ab, mode="r")  # [6C+1, 6C+1]
+
+            # Combine factors across shards (the only communication).
+            R_all = jax.lax.all_gather(R_loc, DATA_AXIS)  # [D, 6C+1, 6C+1]
+            stacked = R_all.reshape(-1, 6 * C + 1)
+            damp_rows = jnp.concatenate(
+                [
+                    sqrt_l * jnp.eye(6 * C, dtype=dtype),
+                    jnp.zeros((6 * C, 1), dtype),
+                ],
+                axis=1,
+            )
+            R_fin = jnp.linalg.qr(
+                jnp.concatenate([stacked, damp_rows], axis=0), mode="r"
+            )
+            Rp = R_fin[: 6 * C, : 6 * C]
+            c = R_fin[: 6 * C, 6 * C]
+            delta_c = -jax.scipy.linalg.solve_triangular(
+                Rp, c, lower=False
+            )
+            delta_c = (delta_c * free).reshape(C, 6)
+
+            rhs = -(
+                r_rot[:, :3]
+                + jnp.einsum(
+                    "pik,k->pi", Jp_rot[:, :3, :], delta_c.reshape(-1)
+                )
+            )
+            delta_p = jax.scipy.linalg.solve_triangular(
+                R_land, rhs[..., None], lower=False
+            )[..., 0]
+
+            new_poses = jax.vmap(se3_exp)(delta_c) @ poses
+            new_points_l = points_l + delta_p
+            cost = jax.lax.psum(cost_l, DATA_AXIS)
+            return new_poses, new_points_l, cost
+
+        fn = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(None, DATA_AXIS),
+                      P(None, DATA_AXIS), P()),
+            out_specs=(P(), P(DATA_AXIS), P()),
+            # The pose update is value-replicated (it derives from the
+            # all-gathered TSQR factors), but the checker can't prove
+            # replication through qr/solve_triangular.
+            check_vma=False,
+        )
+        return fn(poses, points, obs, vis, K)
+
+    return jax.jit(step)

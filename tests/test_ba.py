@@ -309,3 +309,34 @@ def test_sqrt_ba_converges_in_f32(rng):
     rr, _ = ba.reprojection_residuals(ref)
     ref_cost = float(jnp.sum(rr**2))
     assert cost1 <= ref_cost * 1.5 + 1e-6, (cost1, ref_cost)
+
+
+def test_distributed_sqrt_ba_matches_single_device(rng):
+    """TSQR-distributed sqrt-BA step == single-device sqrt_ba_step on an
+    8-shard landmark axis."""
+    from deepfepe_tpu.ba.distributed import (
+        make_distributed_sqrt_ba_step,
+        shard_ba_inputs,
+    )
+    from deepfepe_tpu.ba.sqrt_ba import sqrt_ba_step
+    from deepfepe_tpu.parallel import make_mesh
+
+    prob, _, _ = _make_ba_problem(rng, C=4, P=64, perturb=0.2)
+    prob = ba.BAProblem(*[jnp.asarray(a, jnp.float64) for a in prob])
+
+    ref, _ = sqrt_ba_step(prob, damping=1e-3)
+
+    mesh = make_mesh(n_data=8)
+    step = make_distributed_sqrt_ba_step(mesh, damping=1e-3)
+    pts_s, obs_s, vis_s = shard_ba_inputs(
+        mesh, prob.points, prob.obs, prob.vis
+    )
+    new_poses, new_points, cost = step(
+        prob.poses, pts_s, obs_s, vis_s, prob.K
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_poses), np.asarray(ref.poses), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_points), np.asarray(ref.points), atol=1e-8
+    )
