@@ -213,6 +213,15 @@ def cmd_eval_vo(args):
     first = None
     key = jax.random.PRNGKey(0)
     use_baseline = args.baseline
+    refine_fn = None
+    if getattr(args, "refine_ba", False):
+        from .eval.refine import refine_two_view_batch
+
+        refine_fn = jax.jit(
+            lambda m, w, K, R, t: refine_two_view_batch(
+                m, w, K, R, t, iters=5
+            )
+        )
 
     def run_pass(batch_iter):
         """One ordered sweep: per-pair M estimates (+gt, errors, gt scale)."""
@@ -239,6 +248,36 @@ def cmd_eval_vo(args):
             M = np.asarray(rt["M_base" if use_baseline else "M_est"])
             eq = np.asarray(rt["err_q_base" if use_baseline else "err_q_est"])
             et = np.asarray(rt["err_t_base" if use_baseline else "err_t_est"])
+            if refine_fn is not None and not use_baseline:
+                # Two-view sqrt-BA polish (eval/refine.py): triangulate with
+                # the solver pose, few damped-GN iterations, learned weights
+                # as robust residual weights.
+                from .geometry.rotations import (
+                    rotation_angle_error,
+                    vector_angle,
+                )
+
+                R_ref, t_ref, _ = refine_fn(
+                    b["matches_xy_ori"].astype(jnp.float64),
+                    metrics["weights"].astype(jnp.float64),
+                    b["Ks"].astype(jnp.float64),
+                    jnp.asarray(M[:, :3, :3], jnp.float64),
+                    jnp.asarray(M[:, :3, 3], jnp.float64),
+                )
+                M = np.concatenate(
+                    [np.asarray(R_ref), np.asarray(t_ref)[..., None]], -1
+                ).astype(np.float32)
+                gtR = jnp.asarray(
+                    np.asarray(batch["delta_Rtijs_4_4"])[:, :3, :3],
+                    jnp.float64,
+                )
+                gtt = jnp.asarray(
+                    np.asarray(batch["delta_Rtijs_4_4"])[:, :3, 3],
+                    jnp.float64,
+                )
+                eq = np.asarray(rotation_angle_error(R_ref, gtR))
+                et_raw = np.asarray(vector_angle(t_ref, gtt))
+                et = np.minimum(et_raw, 180.0 - et_raw)
             frames = (
                 np.asarray(batch["frame_i"]) if "frame_i" in batch else None
             )
@@ -592,6 +631,10 @@ def main(argv=None):
                          "pose-graph solve (synthetic sequences)")
     sp.add_argument("--baseline", action="store_true",
                     help="use the RANSAC-8pt baseline instead of the net")
+    sp.add_argument("--refine_ba", action="store_true",
+                    help="two-view sqrt-BA polish of each pair's pose "
+                         "(triangulate + damped GN, learned weights as "
+                         "robust residual weights)")
     sp.set_defaults(fn=cmd_eval_vo)
     for name, fn in (("train_good", cmd_train), ("eval_good", cmd_eval)):
         sp = sub.add_parser(name)

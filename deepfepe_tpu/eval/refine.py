@@ -1,0 +1,100 @@
+"""Two-view motion refinement: square-root BA polish on each pair's pose.
+
+The gold-standard post-processing the reference never had (its pipeline
+stops at the solver's E estimate): triangulate the correspondences with
+the solver's (R, t) initialization, then run a few damped-GN iterations of
+reprojection-error BA over {camera 2 pose, 3D points} with camera 1 fixed
+— the classic two-view refinement (Hartley & Zisserman §12; sqrt-BA flavor
+per PAPERS.md Demmel et al. 2021 so pure f32 suffices on TPU).
+
+Fully batched over pairs via vmap; robustness comes from weighting the
+residuals by the solver's correspondence weights (outliers get ~0 weight),
+reusing the learned inlier scores instead of a fresh RANSAC.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ba.bundle_adjustment import BAProblem, reprojection_residuals
+from ..ba.sqrt_ba import sqrt_ba_step
+from ..geometry.decompose import two_view_depths
+
+
+def _refine_one(
+    matches: jnp.ndarray,   # [N, 4] pixel correspondences x1 y1 x2 y2
+    weights: jnp.ndarray,   # [N] per-correspondence weights (>=0)
+    K: jnp.ndarray,         # [3, 3]
+    R: jnp.ndarray,         # [3, 3] init, x2 = R x1 + t
+    t: jnp.ndarray,         # [3] init (unit scale kept)
+    iters: int,
+    damping: float,
+    weight_floor: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    N = matches.shape[0]
+    dtype = matches.dtype
+    K = K.astype(dtype)
+    K_inv = jnp.linalg.inv(K)
+    homo = lambda x: jnp.concatenate(
+        [x, jnp.ones(x.shape[:-1] + (1,), dtype)], -1
+    )
+    x1n = homo(matches[:, :2]) @ K_inv.T
+    x2n = homo(matches[:, 2:4]) @ K_inv.T
+
+    # Triangulate in frame 1 with the initial pose.
+    z1, z2 = two_view_depths(R, t, x1n, x2n)
+    X = x1n * z1[..., None]  # [N, 3] frame-1 points
+
+    # Visibility = normalized weights, zeroing cheirality violations
+    # (negative depths) — BAProblem treats vis as per-residual weights.
+    w = weights / (jnp.max(weights) + 1e-12)
+    w = jnp.where((z1 > 0) & (z2 > 0), w, 0.0)
+    w = jnp.where(w > weight_floor, w, 0.0)
+
+    poses = jnp.stack([
+        jnp.eye(4, dtype=dtype),
+        jnp.eye(4, dtype=dtype).at[:3, :3].set(R).at[:3, 3].set(t),
+    ])
+    obs = jnp.stack([matches[:, :2], matches[:, 2:4]])  # [2, N, 2]
+    vis = jnp.stack([w, w])                             # [2, N]
+    prob = BAProblem(poses=poses, points=X, obs=obs, vis=vis, K=K)
+
+    def body(prob, _):
+        prob, info = sqrt_ba_step(prob, damping=damping, fix_cameras=1)
+        return prob, info["cost"]
+
+    prob, costs = jax.lax.scan(body, prob, None, length=iters)
+    R_out = prob.poses[1, :3, :3]
+    t_out = prob.poses[1, :3, 3]
+    # Keep the two-view scale convention: unit translation.
+    t_out = t_out / (jnp.linalg.norm(t_out) + 1e-12)
+    r_fin, _ = reprojection_residuals(prob)
+    return R_out, t_out, {
+        "costs": costs,
+        "final_rms_px": jnp.sqrt(
+            jnp.sum(r_fin**2) / (jnp.sum(vis) + 1e-9)
+        ),
+    }
+
+
+def refine_two_view_batch(
+    matches: jnp.ndarray,   # [B, N, 4]
+    weights: jnp.ndarray,   # [B, N]
+    Ks: jnp.ndarray,        # [B, 3, 3]
+    R: jnp.ndarray,         # [B, 3, 3]
+    t: jnp.ndarray,         # [B, 3]
+    iters: int = 5,
+    damping: float = 1e-3,
+    weight_floor: float = 0.0,
+):
+    """Batched two-view BA refinement. Returns (R [B,3,3], t-unit [B,3],
+    info dict)."""
+    fn = jax.vmap(
+        lambda m, w, K, R0, t0: _refine_one(
+            m, w, K, R0, t0, iters, damping, weight_floor
+        )
+    )
+    return fn(matches, weights, Ks, R, t)

@@ -110,6 +110,9 @@ def compute_losses(
     metrics["loss"] = loss
     metrics["E_ests"] = ld["E_ests"]
     metrics["F_ests"] = ld["F_ests"]
+    # Final-layer correspondence weights: the learned inlier scores, used
+    # by the BA refinement (eval/refine.py) as robust residual weights.
+    metrics["weights"] = outs["weights"]
     return loss, metrics
 
 

@@ -340,3 +340,60 @@ def test_distributed_sqrt_ba_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(new_points), np.asarray(ref.points), atol=1e-8
     )
+
+
+def test_two_view_sqrt_refinement_improves_pose(rng):
+    """BA polish on a noisy two-view estimate cuts rotation AND translation
+    angle error (batched over pairs)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import synthetic_pair
+
+    from deepfepe_tpu.eval.refine import refine_two_view_batch
+    from deepfepe_tpu.geometry.rotations import rotation_angle_error
+    from deepfepe_tpu.geometry.rotations import vector_angle
+
+    B, N = 6, 200
+    ms, ws, Ks, R0s, t0s, Rg, tg = [], [], [], [], [], [], []
+    for _ in range(B):
+        d = synthetic_pair(rng, n=N, noise=0.8, outlier_frac=0.15)
+        ms.append(np.concatenate([d["x1"], d["x2"]], -1))
+        # Inlier-ish weights: outliers get small weight (the solver's
+        # learned weights play this role in the pipeline).
+        from deepfepe_tpu.geometry import epi_distance
+        dist, _, _ = epi_distance(
+            jnp.asarray(d["F"]), jnp.asarray(d["x1"]), jnp.asarray(d["x2"])
+        )
+        w = np.asarray(jnp.exp(-np.asarray(dist)))
+        ws.append(w)
+        Ks.append(d["K"])
+        # Perturb gt pose for the init (solver-quality estimate).
+        ax = rng.randn(3); ax /= np.linalg.norm(ax)
+        a = np.deg2rad(1.5)
+        Kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                       [-ax[1], ax[0], 0]])
+        dR = np.eye(3) + np.sin(a) * Kx + (1 - np.cos(a)) * Kx @ Kx
+        R0s.append(dR @ d["R"])
+        tp = d["t"] + 0.08 * rng.randn(3)
+        t0s.append(tp / np.linalg.norm(tp))
+        Rg.append(d["R"]); tg.append(d["t"] / np.linalg.norm(d["t"]))
+
+    to = lambda x: jnp.asarray(np.stack(x), jnp.float64)
+    R_ref, t_ref, info = refine_two_view_batch(
+        to(ms), to(ws), to(Ks), to(R0s), to(t0s), iters=6
+    )
+
+    def errs(Rs, ts):
+        eR = np.asarray(rotation_angle_error(jnp.asarray(Rs), to(Rg)))
+        et = np.asarray(vector_angle(jnp.asarray(ts), to(tg)))
+        et = np.minimum(et, 180.0 - et)  # sign-invariant
+        return eR, et
+
+    eR0, et0 = errs(to(R0s), to(t0s))
+    eR1, et1 = errs(R_ref, t_ref)
+    # Median errors drop substantially.
+    assert np.median(eR1) < 0.6 * np.median(eR0), (np.median(eR0),
+                                                   np.median(eR1))
+    assert np.median(et1) < 0.6 * np.median(et0), (np.median(et0),
+                                                   np.median(et1))
+    assert np.all(np.isfinite(np.asarray(info["final_rms_px"])))
