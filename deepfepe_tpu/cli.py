@@ -257,23 +257,23 @@ def cmd_eval_vo(args):
                     vector_angle,
                 )
 
+                # f32 throughout: the square-root formulation keeps GN
+                # convergence without f64 (the point of ba/sqrt_ba.py).
                 R_ref, t_ref, _ = refine_fn(
-                    b["matches_xy_ori"].astype(jnp.float64),
-                    metrics["weights"].astype(jnp.float64),
-                    b["Ks"].astype(jnp.float64),
-                    jnp.asarray(M[:, :3, :3], jnp.float64),
-                    jnp.asarray(M[:, :3, 3], jnp.float64),
+                    b["matches_xy_ori"].astype(jnp.float32),
+                    metrics["weights"].astype(jnp.float32),
+                    b["Ks"].astype(jnp.float32),
+                    jnp.asarray(M[:, :3, :3], jnp.float32),
+                    jnp.asarray(M[:, :3, 3], jnp.float32),
                 )
                 M = np.concatenate(
                     [np.asarray(R_ref), np.asarray(t_ref)[..., None]], -1
                 ).astype(np.float32)
                 gtR = jnp.asarray(
-                    np.asarray(batch["delta_Rtijs_4_4"])[:, :3, :3],
-                    jnp.float64,
+                    np.asarray(batch["delta_Rtijs_4_4"])[:, :3, :3]
                 )
                 gtt = jnp.asarray(
-                    np.asarray(batch["delta_Rtijs_4_4"])[:, :3, 3],
-                    jnp.float64,
+                    np.asarray(batch["delta_Rtijs_4_4"])[:, :3, 3]
                 )
                 eq = np.asarray(rotation_angle_error(R_ref, gtR))
                 et_raw = np.asarray(vector_angle(t_ref, gtt))
