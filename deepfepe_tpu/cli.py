@@ -91,6 +91,16 @@ def cmd_eval(args):
     else:
         trainer.init_state(first)
 
+    refine_fn = None
+    if getattr(args, "refine_ba", False):
+        from .eval.refine import refine_two_view_batch
+
+        refine_fn = jax.jit(
+            lambda m, w, K, R, t: refine_two_view_batch(
+                m, w, K, R, t, iters=5
+            )
+        )
+
     results = {"err_q": [], "err_t": [], "err_q_base": [], "err_t_base": [],
                "err_q_gt": [], "err_t_gt": [], "M_cam_est": [],
                "M_cam_base": [], "epi_dists_est": [], "epi_dists_base": [],
@@ -112,13 +122,48 @@ def cmd_eval(args):
             ransac_key=sub,
             five_point=cfg.exps.five_point,
         )
-        results["err_q"].append(np.asarray(rt["err_q_est"]))
-        results["err_t"].append(np.asarray(rt["err_t_est"]))
+        eq_est = np.asarray(rt["err_q_est"])
+        et_est = np.asarray(rt["err_t_est"])
+        M_cam_est = np.asarray(rt["M_cam_est"])
+        if refine_fn is not None:
+            import jax.numpy as jnp
+
+            from .geometry.basic import rt_inverse
+            from .geometry.rotations import rotation_angle_error, vector_angle
+
+            # Refine the FORWARD (i->j) pose M_est; the npz schema and the
+            # reference's error stats use the inverted (camera) convention
+            # (val_rt._pose_errors), so invert after.
+            M_fwd = np.asarray(rt["M_est"])
+            R_ref, t_ref, _ = refine_fn(
+                jnp.asarray(sharded["matches_xy_ori"], jnp.float32),
+                jnp.asarray(metrics["weights"], jnp.float32),
+                jnp.asarray(sharded["Ks"], jnp.float32),
+                jnp.asarray(M_fwd[:, :3, :3], jnp.float32),
+                jnp.asarray(M_fwd[:, :3, 3], jnp.float32),
+            )
+            Rt_fwd = jnp.concatenate([R_ref, t_ref[..., None]], axis=-1)
+            Rt_cam = rt_inverse(Rt_fwd)
+            M_cam_est = np.asarray(Rt_cam).astype(np.float32)
+            gt_inv = np.linalg.inv(np.asarray(sharded["delta_Rtijs_4_4"]))
+            eq_est = np.asarray(
+                rotation_angle_error(
+                    Rt_cam[:, :3, :3], jnp.asarray(gt_inv[:, :3, :3])
+                )
+            )
+            et_raw = np.asarray(
+                vector_angle(
+                    Rt_cam[:, :3, 3], jnp.asarray(gt_inv[:, :3, 3])
+                )
+            )
+            et_est = np.minimum(et_raw, 180.0 - et_raw)
+        results["err_q"].append(eq_est)
+        results["err_t"].append(et_est)
         results["err_q_base"].append(np.asarray(rt["err_q_base"]))
         results["err_t_base"].append(np.asarray(rt["err_t_base"]))
         results["err_q_gt"].append(np.asarray(rt["err_q_gt"]))
         results["err_t_gt"].append(np.asarray(rt["err_t_gt"]))
-        results["M_cam_est"].append(np.asarray(rt["M_cam_est"]))
+        results["M_cam_est"].append(M_cam_est)
         results["M_cam_base"].append(np.asarray(rt["M_cam_base"]))
         results["epi_dists_est"].append(np.asarray(rt["epi_dists_est"]))
         results["epi_dists_base"].append(np.asarray(rt["epi_dists_base"]))
@@ -646,6 +691,9 @@ def main(argv=None):
         sp.add_argument("--profile_dir", default="",
                         help="capture an xprof device trace of a few "
                              "training iterations into this directory")
+        sp.add_argument("--refine_ba", action="store_true",
+                        help="(eval_good) two-view sqrt-BA polish of each "
+                             "pair's pose before the error stats")
         sp.set_defaults(fn=fn)
     sp = sub.add_parser("infer", help="two images -> relative pose JSON")
     sp.add_argument("img1")
