@@ -55,8 +55,15 @@ def sqrt_ba_step(
     p: BAProblem,
     damping: float = 1e-4,
     fix_cameras: int = 1,
+    dof_mask: jnp.ndarray | None = None,
 ) -> Tuple[BAProblem, Dict[str, jnp.ndarray]]:
-    """One damped-GN step via QR marginalization (no normal equations)."""
+    """One damped-GN step via QR marginalization (no normal equations).
+
+    `dof_mask` [C, 6] (translation xyz, rotation xyz per camera; 0 freezes
+    a DoF) composes with `fix_cameras` — e.g. freezing the rotation block
+    gives the translation-only refinement of the two-stage pose-graph
+    philosophy (rotations from the solver are often already better than
+    what noisy points can support)."""
     C = p.poses.shape[0]
     P = p.points.shape[0]
     dtype = p.points.dtype
@@ -86,8 +93,10 @@ def sqrt_ba_step(
     b = r_rot[:, 3:].reshape(-1)
 
     # Pose damping rows + gauge fixing (drop the fixed cameras' columns).
-    free = jnp.arange(6 * C) >= 6 * fix_cameras
-    A = A * free[None, :].astype(dtype)
+    free = (jnp.arange(6 * C) >= 6 * fix_cameras).astype(dtype)
+    if dof_mask is not None:
+        free = free * dof_mask.reshape(-1).astype(dtype)
+    A = A * free[None, :]
     A = jnp.concatenate(
         [A, sqrt_l * jnp.eye(6 * C, dtype=dtype)], axis=0
     )
@@ -98,7 +107,7 @@ def sqrt_ba_step(
     delta_c = -jax.scipy.linalg.solve_triangular(
         Rp, Qp.T @ b, lower=False
     )
-    delta_c = jnp.where(free, delta_c, 0.0).reshape(C, 6)
+    delta_c = (delta_c * free).reshape(C, 6)
 
     # Landmark back-substitution from the top-3 rotated rows:
     # R_l δX = -(r̃[:3] + J̃_p[:3] δp).

@@ -9,7 +9,18 @@ per PAPERS.md Demmel et al. 2021 so pure f32 suffices on TPU).
 
 Fully batched over pairs via vmap; robustness comes from weighting the
 residuals by the solver's correspondence weights (outliers get ~0 weight),
-reusing the learned inlier scores instead of a fresh RANSAC.
+reusing the learned inlier scores instead of a fresh RANSAC; optional
+Huber IRLS on top.
+
+WHEN IT HELPS (measured): on dense accurate correspondences the polish is
+a large win — flagship synthetic-oracle VO trans 2.64->1.87 %, ATE
+0.634->0.213 m; eval_good median err_t 1.24->0.53 deg. On sparse noisy
+SuperPoint matches (~140/pair) where the solver was trained with the qt
+loss directly against gt poses, the solver's estimate is already BETTER
+than the reprojection optimum of its own matches, and the polish
+regresses toward that optimum (SP-pipeline VO trans 10.7->13.6 %;
+t-only and Huber variants do not recover it). Use on the SIFT-dump /
+high-match-count paths; leave off for sparse qt-trained SP pipelines.
 """
 
 from __future__ import annotations
@@ -33,6 +44,8 @@ def _refine_one(
     iters: int,
     damping: float,
     weight_floor: float,
+    refine_rotation: bool,
+    huber_px: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     N = matches.shape[0]
     dtype = matches.dtype
@@ -62,8 +75,28 @@ def _refine_one(
     vis = jnp.stack([w, w])                             # [2, N]
     prob = BAProblem(poses=poses, points=X, obs=obs, vis=vis, K=K)
 
+    dof = None
+    if not refine_rotation:
+        # Translation-only: freeze the rotation block of camera 2
+        # (dX/dcam = [I | -skew]: cols 0-2 translation, 3-5 rotation).
+        dof = jnp.concatenate(
+            [jnp.ones((2, 3), dtype),
+             jnp.zeros((2, 3), dtype)], axis=1
+        )
+
     def body(prob, _):
-        prob, info = sqrt_ba_step(prob, damping=damping, fix_cameras=1)
+        if huber_px > 0:
+            # Huber IRLS against outlier-contaminated matches: scale each
+            # observation's weight by min(1, delta/|r|) of its CURRENT
+            # reprojection error (same robustification as
+            # ba.pose_graph's IRLS). vis doubles as the weight channel.
+            r_cur, _ = reprojection_residuals(prob._replace(vis=vis))
+            rn = jnp.linalg.norm(r_cur, axis=-1)  # [2, N]
+            w_irls = jnp.minimum(1.0, huber_px / (rn + 1e-9))
+            prob = prob._replace(vis=vis * w_irls)
+        prob, info = sqrt_ba_step(
+            prob, damping=damping, fix_cameras=1, dof_mask=dof
+        )
         return prob, info["cost"]
 
     prob, costs = jax.lax.scan(body, prob, None, length=iters)
@@ -89,12 +122,17 @@ def refine_two_view_batch(
     iters: int = 5,
     damping: float = 1e-3,
     weight_floor: float = 0.0,
+    refine_rotation: bool = True,
+    huber_px: float = 0.0,
 ):
     """Batched two-view BA refinement. Returns (R [B,3,3], t-unit [B,3],
-    info dict)."""
+    info dict). refine_rotation=False freezes rotations (translation +
+    points only — the right mode when the solver's rotations are already
+    better than what the point noise supports)."""
     fn = jax.vmap(
         lambda m, w, K, R0, t0: _refine_one(
-            m, w, K, R0, t0, iters, damping, weight_floor
+            m, w, K, R0, t0, iters, damping, weight_floor,
+            refine_rotation, huber_px,
         )
     )
     return fn(matches, weights, Ks, R, t)

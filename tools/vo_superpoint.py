@@ -47,6 +47,15 @@ def main():
                     help="multiplier on the auto-chosen step_length")
     ap.add_argument("--n_corners", type=int, default=0,
                     help="corner stamps per plane texture (match density)")
+    ap.add_argument("--refine_ba", action="store_true",
+                    help="two-view sqrt-BA polish of each pair's solver "
+                         "pose (eval/refine.py)")
+    ap.add_argument("--refine_huber", type=float, default=0.0,
+                    help="Huber IRLS scale in px for the polish (robust "
+                         "against outlier matches; 0 = off)")
+    ap.add_argument("--refine_t_only", action="store_true",
+                    help="freeze rotations during the polish (the solver's "
+                         "rotations often beat what noisy points support)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     IMG = tuple(args.image)
@@ -114,6 +123,17 @@ def main():
             deepf_params = serialization.from_bytes(deepf_params, f.read())
 
     ev = make_joint_eval_step(deepf_net, sp_net, fp, cfg)
+    refine_fn = None
+    if args.refine_ba or args.refine_t_only:
+        from deepfepe_tpu.eval.refine import refine_two_view_batch
+
+        refine_fn = jax.jit(
+            lambda m_, w_, K_, R_, t_: refine_two_view_batch(
+                m_, w_, K_, R_, t_, iters=5,
+                refine_rotation=not args.refine_t_only,
+                huber_px=args.refine_huber,
+            )
+        )
     key = jax.random.PRNGKey(5)
     rels = {"est": [], "base": [], "gt": []}
     errs = {"q_est": [], "t_est": [], "q_base": [], "t_base": []}
@@ -128,6 +148,31 @@ def main():
         )
         Me = np.asarray(rt["M_est"])
         Mb = np.asarray(rt["M_base"])
+        if refine_fn is not None:
+            R_ref, t_ref, _ = refine_fn(
+                jnp.asarray(m["matches_xy"], jnp.float32),
+                jnp.asarray(m["weights"], jnp.float32),
+                jnp.asarray(b["Ks"], jnp.float32),
+                jnp.asarray(Me[:, :3, :3], jnp.float32),
+                jnp.asarray(Me[:, :3, 3], jnp.float32),
+            )
+            Me = np.concatenate(
+                [np.asarray(R_ref), np.asarray(t_ref)[..., None]], -1
+            ).astype(np.float32)
+            from deepfepe_tpu.geometry.rotations import (
+                rotation_angle_error,
+                vector_angle,
+            )
+
+            gt44 = np.asarray(b["delta_Rtijs_4_4"])
+            eq_r = np.asarray(rotation_angle_error(
+                R_ref, jnp.asarray(gt44[:, :3, :3])))
+            et_raw = np.asarray(vector_angle(
+                t_ref, jnp.asarray(gt44[:, :3, 3])))
+            et_r = np.minimum(et_raw, 180.0 - et_raw)
+            rt = dict(rt)
+            rt["err_q_est"] = jnp.asarray(eq_r)
+            rt["err_t_est"] = jnp.asarray(et_r)
         for i in range(Me.shape[0]):
             fidx = int(batch["frame_i"][i])
             if fidx == len(rels["est"]):  # skip padded duplicates
