@@ -232,3 +232,61 @@ def test_sample_loss_variant_trains():
     assert "loss_selected_F" in m
     assert np.isfinite(float(m["loss_selected_F"]))
     assert float(m["loss"]) > float(m["loss_F"])  # aux term added
+
+
+def test_resume_continuity_bitexact():
+    """Elastic-recovery guarantee (SURVEY §5.3): train k, checkpoint,
+    restart a FRESH trainer, restore, train k more — parameters match an
+    uninterrupted 2k-iter run exactly (the step rng is keyed on n_iter, so
+    resume replays the identical trajectory)."""
+    import tempfile
+
+    from deepfepe_tpu.data import SyntheticPairs
+    from deepfepe_tpu.models import DeepFNet
+    from deepfepe_tpu.train import Config, Trainer
+
+    cfg = Config()
+    cfg.data.good_num = 64
+    cfg.model.depth = 2
+    cfg.model.if_quality = True
+    cfg.training.val_interval = 10_000  # no mid-run validation
+    net = DeepFNet(depth=2, image_size=(376, 1241), if_quality=True)
+
+    def batches():
+        ds = SyntheticPairs(good_num=64, seed=0)
+        while True:
+            yield ds.batch(8)  # divisible by the 8-device virtual mesh
+
+    with tempfile.TemporaryDirectory() as d:
+        # Uninterrupted 6 iterations.
+        t_a = Trainer(net, cfg, save_dir=d + "/a")
+        t_a.fit(batches(), max_iters=6)
+        p_ref = jax.device_get(t_a.state.params)
+
+        # 3 iterations + checkpoint.
+        t_b = Trainer(net, cfg, save_dir=d + "/b")
+        t_b.fit(batches(), max_iters=3)
+        t_b.save(3)
+        ckpt = d + "/b/checkpoints/deepFNet_3_checkpoint.msgpack"
+
+        # Fresh process-equivalent: new trainer, restore, 3 more. The
+        # data stream must resume where it left off (deterministic
+        # generators: fast-forward by n_iter).
+        t_c = Trainer(net, cfg, save_dir=d + "/c")
+        stream = batches()
+        first = next(batches())
+        t_c.restore(ckpt, first)
+        assert t_c.n_iter == 3
+        for _ in range(3):
+            next(stream)
+        t_c.fit(stream, max_iters=6)  # continues to iter 6
+        p_res = jax.device_get(t_c.state.params)
+
+    mism = [
+        float(np.abs(a - b).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref),
+            jax.tree_util.tree_leaves(p_res),
+        )
+    ]
+    assert max(mism) == 0.0, max(mism)
