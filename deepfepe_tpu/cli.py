@@ -67,8 +67,12 @@ def cmd_train(args):
             if empty:
                 raise RuntimeError("train dataset produced no batches")
 
+    from .data.prefetch import prefetch_batches
+
     last = trainer.fit(
-        cycle(),
+        # Background producer keeps 2 batches ahead of the device
+        # (data/prefetch.py — the DataLoader-workers role).
+        prefetch_batches(cycle(), depth=2),
         val_stream_fn=lambda: val_ds.batches(bs),
         max_iters=cfg.training.train_iter,
     )

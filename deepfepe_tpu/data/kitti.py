@@ -177,11 +177,19 @@ class KittiCorrDataset:
         return len(self.samples)
 
     def _load_arr(self, base) -> np.ndarray:
-        """Load `<base>.npy` or `<base>.h5` per use_h5 (dataset 'arr')."""
+        """Load `<base>.npy` or `<base>.h5` per use_h5 (dataset 'arr').
+
+        npy reads go through the first-party C++ parser when its shared
+        library is built (data/native_loader.py; ~2x numpy on the dump
+        files and GIL-releasing for the threaded prefetcher)."""
         if self.use_h5:
             from ..utils.io import loadh5
 
             return np.asarray(loadh5(f"{base}.h5")["arr"])
+        from .native_loader import load_npy, native_available
+
+        if native_available():
+            return load_npy(f"{base}.npy")
         return np.load(f"{base}.npy")
 
     def get_item(self, index: int) -> Dict[str, np.ndarray]:

@@ -62,3 +62,39 @@ def test_batch_prefetcher_many(tmp_path, rng):
     outs = pf.get(token)
     for a, b in zip(refs, outs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_batches_order_and_errors():
+    from deepfepe_tpu.data.prefetch import prefetch_batches
+
+    assert list(prefetch_batches(iter(range(20)), depth=3)) == list(range(20))
+
+    def bad():
+        yield 1
+        yield 2
+        raise ValueError("boom")
+
+    out = []
+    try:
+        for x in prefetch_batches(bad(), depth=2):
+            out.append(x)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "boom" in str(e)
+    assert out == [1, 2]
+
+
+def test_kitti_load_arr_uses_native(tmp_path):
+    """_load_arr round-trips through the C++ parser when available."""
+    import numpy as np
+
+    from deepfepe_tpu.data.kitti import KittiCorrDataset
+    from deepfepe_tpu.data.native_loader import native_available
+
+    a = np.arange(24, dtype=np.float32).reshape(4, 6)
+    np.save(tmp_path / "x.npy", a)
+    ds = KittiCorrDataset.__new__(KittiCorrDataset)  # no crawl needed
+    ds.use_h5 = False
+    out = ds._load_arr(tmp_path / "x")
+    np.testing.assert_array_equal(out, a)
+    assert native_available() in (True, False)  # builds or falls back
