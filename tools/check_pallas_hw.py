@@ -1,0 +1,131 @@
+"""Hardware smoke-check for every Pallas kernel: compile + run on the real
+chip and compare against the XLA reference path.
+
+Interpret mode does NOT catch Mosaic lowering violations (the matcher
+kernel's (1, K) output block passed interpret and failed on hardware), so
+run this after touching any kernel:
+
+    python tools/check_pallas_hw.py      # on the TPU machine
+
+Prints one JSON line per kernel: {"kernel", "ok", "max_err", "note"}.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def check(name, fn):
+    try:
+        err = fn()
+        print(json.dumps({"kernel": name, "ok": True,
+                          "max_err": float(err)}), flush=True)
+        return True
+    except Exception as e:  # noqa: BLE001 — report and continue
+        print(json.dumps({"kernel": name, "ok": False,
+                          "note": repr(e)[:300]}), flush=True)
+        return False
+
+
+def eigh9():
+    from deepfepe_tpu.ops.jacobi import jacobi_eigh
+    from deepfepe_tpu.ops.pallas.eigh9_pallas import eigh9_pallas
+
+    rng = np.random.RandomState(0)
+    A = rng.randn(512, 9, 9).astype(np.float32)
+    A = (A + A.transpose(0, 2, 1)) / 2
+    w_p, V_p = jax.jit(eigh9_pallas)(jnp.asarray(A))
+    w_j, _ = jax.jit(jacobi_eigh)(jnp.asarray(A))
+    return np.abs(np.asarray(w_p) - np.asarray(w_j)).max()
+
+
+def matcher():
+    from deepfepe_tpu.frontend.matching import mutual_nn_match
+
+    rng = np.random.RandomState(1)
+    B, K, D = 4, 1024, 256
+    base = rng.randn(B, K, D).astype(np.float32)
+    d1 = base / np.linalg.norm(base, axis=-1, keepdims=True)
+    d2p = base + 0.3 * rng.randn(B, K, D).astype(np.float32)
+    d2 = d2p / np.linalg.norm(d2p, axis=-1, keepdims=True)
+    v = jnp.ones((B, K), bool)
+    a1, a2 = jnp.asarray(d1), jnp.asarray(d2)
+    ref = mutual_nn_match(a1, a2, v, v, nn_thresh=0.9, backend="xla")
+    got = mutual_nn_match(a1, a2, v, v, nn_thresh=0.9, backend="pallas")
+
+    # Compare as SETS: the best-first sort breaks float ties differently
+    # between backends, so elementwise index comparison is meaningless.
+    def pairs(m):
+        val = np.asarray(m.valid)
+        i1, i2 = np.asarray(m.idx1), np.asarray(m.idx2)
+        return {
+            (b, int(i1[b, k]), int(i2[b, k]))
+            for b in range(val.shape[0])
+            for k in range(val.shape[1]) if val[b, k]
+        }
+
+    pr, pg = pairs(ref), pairs(got)
+    if pr != pg:
+        raise AssertionError(f"match sets differ ({len(pr ^ pg)} pairs)")
+    return float(
+        abs(np.sort(np.asarray(ref.scores), axis=None)
+            - np.sort(np.asarray(got.scores), axis=None)).max()
+    )
+
+
+def epi_residual():
+    from deepfepe_tpu.geometry.epipolar import compute_epi_residual
+    from deepfepe_tpu.ops.pallas.epi_residual_pallas import (
+        epi_residual_pallas,
+    )
+
+    rng = np.random.RandomState(2)
+    B, N = 8, 1024
+    p1 = np.concatenate(
+        [rng.randn(B, N, 2), np.ones((B, N, 1))], -1
+    ).astype(np.float32)
+    p2 = np.concatenate(
+        [rng.randn(B, N, 2), np.ones((B, N, 1))], -1
+    ).astype(np.float32)
+    F = rng.randn(B, 3, 3).astype(np.float32)
+    got = jax.jit(epi_residual_pallas)(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(F)
+    )
+    ref = compute_epi_residual(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(F)
+    )
+    return np.abs(np.asarray(got) - np.asarray(ref)).max()
+
+
+def mlp():
+    from deepfepe_tpu.models.error_estimator import ErrorEstimator
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 512, 7).astype(np.float32)
+    net_p = ErrorEstimator(dtype=jnp.bfloat16, use_pallas=True)
+    net_x = ErrorEstimator(dtype=jnp.bfloat16, use_pallas=False)
+    params = net_x.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y_p = np.asarray(net_p.apply(params, jnp.asarray(x)))
+    y_x = np.asarray(net_x.apply(params, jnp.asarray(x)))
+    return np.abs(y_p - y_x).max()
+
+
+def main():
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    ok = True
+    ok &= check("eigh9_pallas", eigh9)
+    ok &= check("matcher_pallas", matcher)
+    ok &= check("epi_residual_pallas", epi_residual)
+    ok &= check("mlp_pallas", mlp)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
