@@ -654,6 +654,32 @@ def cmd_infer(args):
     return out
 
 
+def cmd_tables(args):
+    """Multi-experiment comparison tables from eval npz dumps
+    (ref: the table notebooks over Exp_table_processor,
+    eval_tools.py:181-585, as one command)."""
+    import yaml
+
+    from .eval.results import ExpTableProcessor
+
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+    tp = ExpTableProcessor.from_config(config)
+    metrics = tuple(
+        args.metrics.split(",")
+    ) if args.metrics else ("err_q_median", "err_t_median")
+    md = tp.to_markdown(metrics, top_k=args.top_k)
+    print(md)
+    if args.latex:
+        print()
+        print(tp.to_latex(metrics))
+    if args.plot:
+        fig = tp.plot_metrics(metrics, save_path=args.plot)
+        if fig is not None:
+            print(f"# wrote {args.plot}")
+    return md
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("deepfepe_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -699,6 +725,15 @@ def main(argv=None):
                         help="(eval_good) two-view sqrt-BA polish of each "
                              "pair's pose before the error stats")
         sp.set_defaults(fn=fn)
+    sp = sub.add_parser("tables", help="multi-experiment result tables")
+    sp.add_argument("config", help="table config YAML (data.base_path + "
+                                   "data.seq_dict, reference schema)")
+    sp.add_argument("--metrics", default="",
+                    help="comma list (default err_q_median,err_t_median)")
+    sp.add_argument("--top_k", type=int, default=1)
+    sp.add_argument("--latex", action="store_true")
+    sp.add_argument("--plot", default="", help="save a bar-panel figure here")
+    sp.set_defaults(fn=cmd_tables)
     sp = sub.add_parser("infer", help="two images -> relative pose JSON")
     sp.add_argument("img1")
     sp.add_argument("img2")

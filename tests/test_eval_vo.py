@@ -632,3 +632,29 @@ def test_results_extended_table_surface(tmp_path, rng):
     fig = tp.plot_metrics(save_path=str(tmp_path / "t.png"))
     if fig is not None:
         assert (tmp_path / "t.png").stat().st_size > 1000
+
+
+def test_cli_tables(tmp_path, rng):
+    """`tables <config>` prints markdown (+latex, +figure) from npz dumps."""
+    import yaml
+
+    from deepfepe_tpu.cli import main
+
+    for name, sc in (("expA", 1.0), ("expB", 0.5)):
+        (tmp_path / name).mkdir()
+        eq = np.abs(rng.randn(8))
+        np.savez(tmp_path / name / "DeepF_err_ratio.npz",
+                 err_q=eq * sc, err_t=eq * 2 * sc,
+                 epi_dists=np.abs(rng.randn(8, 10)))
+    cfg = {"data": {"base_path": str(tmp_path), "seq_dict": {
+        "A": ["expA", "DeepF_err_ratio.npz"],
+        "B": ["expB", "DeepF_err_ratio.npz"]}}}
+    cfgp = tmp_path / "t.yaml"
+    with open(cfgp, "w") as f:
+        yaml.safe_dump(cfg, f)
+    md = main(["tables", str(cfgp), "--plot", str(tmp_path / "f.png")])
+    assert "| exp |" in md and "_median_" in md
+    # B has strictly halved errors -> both bolds on B.
+    b_row = [l for l in md.split("\n") if l.startswith("| B ")][0]
+    assert b_row.count("**") == 4
+    assert (tmp_path / "f.png").stat().st_size > 1000
