@@ -201,7 +201,7 @@ def bench_joint_step():
     ds = SyntheticImagePairs(image_size=JOINT_HW, seed=0)
     batch = {k: jnp.asarray(v) for k, v in ds.batch(JOINT_BATCH).items()}
 
-    sp_net = SuperPointNet()
+    sp_net = SuperPointNet(dtype=jnp.bfloat16)  # +9% measured on v5e
     deepf_net = DeepFNet(
         depth=DEPTH, image_size=JOINT_HW, if_quality=True,
         mlp_dtype=jnp.bfloat16,

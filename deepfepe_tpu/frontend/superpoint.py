@@ -20,11 +20,16 @@ from ..geometry.basic import safe_norm
 
 
 class SuperPointNet(nn.Module):
-    """VGG-style SuperPoint with detector + descriptor heads."""
+    """VGG-style SuperPoint with detector + descriptor heads.
+
+    `dtype` sets the conv compute precision (bfloat16 runs the MXU at
+    full rate; params stay float32, outputs return in float32 — same
+    policy as models.ErrorEstimator)."""
 
     det_h: int = 65
     desc_dim: int = 256
     channels: tuple = (64, 64, 64, 64, 128, 128, 128, 128)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> dict:
@@ -32,26 +37,31 @@ class SuperPointNet(nn.Module):
         c = self.channels
         relu = nn.relu
         pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))
+        conv = lambda ch, k, name: nn.Conv(
+            ch, k, padding="SAME", name=name, dtype=self.dtype
+        )
 
-        y = relu(nn.Conv(c[0], (3, 3), padding="SAME", name="conv1a")(x))
-        y = relu(nn.Conv(c[1], (3, 3), padding="SAME", name="conv1b")(y))
+        x = x.astype(self.dtype)
+        y = relu(conv(c[0], (3, 3), "conv1a")(x))
+        y = relu(conv(c[1], (3, 3), "conv1b")(y))
         y = pool(y)
-        y = relu(nn.Conv(c[2], (3, 3), padding="SAME", name="conv2a")(y))
-        y = relu(nn.Conv(c[3], (3, 3), padding="SAME", name="conv2b")(y))
+        y = relu(conv(c[2], (3, 3), "conv2a")(y))
+        y = relu(conv(c[3], (3, 3), "conv2b")(y))
         y = pool(y)
-        y = relu(nn.Conv(c[4], (3, 3), padding="SAME", name="conv3a")(y))
-        y = relu(nn.Conv(c[5], (3, 3), padding="SAME", name="conv3b")(y))
+        y = relu(conv(c[4], (3, 3), "conv3a")(y))
+        y = relu(conv(c[5], (3, 3), "conv3b")(y))
         y = pool(y)
-        y = relu(nn.Conv(c[6], (3, 3), padding="SAME", name="conv4a")(y))
-        y = relu(nn.Conv(c[7], (3, 3), padding="SAME", name="conv4b")(y))
+        y = relu(conv(c[6], (3, 3), "conv4a")(y))
+        y = relu(conv(c[7], (3, 3), "conv4b")(y))
 
         # Detector head: 65 = 64 cell positions + dustbin.
-        d = relu(nn.Conv(256, (3, 3), padding="SAME", name="convPa")(y))
-        semi = nn.Conv(self.det_h, (1, 1), name="convPb")(d)
+        d = relu(conv(256, (3, 3), "convPa")(y))
+        semi = conv(self.det_h, (1, 1), "convPb")(d).astype(jnp.float32)
 
-        # Descriptor head: dense 256-d at 1/8 resolution.
-        e = relu(nn.Conv(256, (3, 3), padding="SAME", name="convDa")(y))
-        desc = nn.Conv(self.desc_dim, (1, 1), name="convDb")(e)
+        # Descriptor head: dense 256-d at 1/8 resolution (normalization in
+        # f32 — unit descriptors feed distance computations).
+        e = relu(conv(256, (3, 3), "convDa")(y))
+        desc = conv(self.desc_dim, (1, 1), "convDb")(e).astype(jnp.float32)
         desc = desc / (safe_norm(desc, axis=-1, keepdims=True) + 1e-10)
 
         return {"semi": semi, "desc": desc}
