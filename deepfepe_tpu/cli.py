@@ -576,6 +576,12 @@ def cmd_infer(args):
         matches = np.asarray(sp_out["matches_xy_ori"][0])
         quality = np.asarray(sp_out["quality"][0])
         n_real = int(np.asarray(sp_out["valid"][0]).sum())
+        if n_real < 8:
+            raise SystemExit(
+                f"only {n_real} SuperPoint matches — image pair unsuitable "
+                "for this frontend (try the SIFT path or a lower "
+                "conf threshold)"
+            )
     else:
         from .data.dump_kitti import match_pair
 
