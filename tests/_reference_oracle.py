@@ -170,3 +170,21 @@ def _load_dataset_cls():
     from deepFEPE.datasets.kitti_odo_corr import KittiCorrOdo  # noqa: E402
 
     return KittiCorrOdo
+
+
+def load_sample_loss_fit():
+    """Import the reference's DeepFNetSampleLoss.Fit with a torch-native
+    stand-in for the CUDA `batch_svd` extension (same (U, S, V) convention
+    as torch.svd: X = U diag(S) V^T with V's columns the right vectors)."""
+    load_reference()
+    import torch
+
+    def _batch_svd(X):
+        U, S, Vh = torch.linalg.svd(X, full_matrices=False)
+        return U, S, Vh.transpose(-1, -2)
+
+    _stub("batch_svd", batch_svd=_batch_svd)
+
+    from deepFEPE.models.DeepFNetSampleLoss import Fit as SampleFit
+
+    return SampleFit

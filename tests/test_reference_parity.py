@@ -723,3 +723,94 @@ def test_co_training_parity(ref):
     rel = np.abs(traj_t - traj_j) / np.abs(traj_t)
     assert rel[0] < 1e-4, rel[0]  # measured 4.5e-6
     assert rel.max() < 0.1, rel
+
+
+# ----------------------------------------------------------------------
+# (e) sample-loss variant: Fit.weighted_svd_batch / topK selection
+# ----------------------------------------------------------------------
+
+def test_sample_loss_fit_parity(ref):
+    """DeepFNetSampleLoss.Fit (topK + batched subset fits) vs
+    models.sample_fit on identical inputs: the top-K fit and the
+    batched-subset solve agree; the reference's overflowing product score
+    equals our log-space softmax wherever it doesn't overflow."""
+    from _reference_oracle import load_sample_loss_fit
+
+    from deepfepe_tpu.models.sample_fit import sample_loss_fits
+    from deepfepe_tpu.ops.fmatrix import weighted_eight_point
+
+    SampleFit = load_sample_loss_fit()
+    fit_t = SampleFit(is_cuda=False, is_test=False, if_cpu_svd=False)
+    fit_t.T_b = fit_t.T_b.double()
+    fit_t.ones_b = fit_t.ones_b.double()
+    fit_t.zero_b = fit_t.zero_b.double()
+    fit_t.mask = fit_t.mask.double()
+    fit_t.mask_cpu = fit_t.mask.clone()
+
+    b = _make_batch(14, B=3, N=96)
+    pts1, pts2, _, _ = _hw_normalized(b["matches"])
+    B, N = pts1.shape[:2]
+    rng = np.random.RandomState(15)
+    w = np.exp(rng.randn(B, N)).astype(np.float64)
+    w = w / w.sum(-1, keepdims=True)
+    unique = np.full((B,), N, np.int64)
+
+    np.random.seed(0)  # the reference samples with the global numpy rng
+    out_t = fit_t(
+        torch.tensor(pts1), torch.tensor(pts2),
+        torch.tensor(w).unsqueeze(1),
+        matches_good_unique_nums=torch.tensor(unique),
+    )
+
+    sf = sample_loss_fits(
+        jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(w),
+        jnp.asarray(unique), jax.random.PRNGKey(0), topk=20, selects=16,
+    )
+
+    def canon(F):
+        F = np.asarray(F, np.float64)
+        F = F / np.linalg.norm(F, axis=(-2, -1), keepdims=True)
+        flat = F.reshape(F.shape[:-2] + (9,))
+        idx = np.argmax(np.abs(flat), axis=-1)
+        s = np.sign(
+            np.take_along_axis(flat, idx[..., None], -1)
+        )[..., 0]
+        return F * s[..., None, None]
+
+    # (1) top-K fit parity (deterministic: same top-20 unique weights).
+    # 20-point fits are worse-conditioned than the N=128 full fit, so the
+    # reference's 1.4142-vs-sqrt(2) constant shows up at ~1e-4 here.
+    np.testing.assert_allclose(
+        canon(out_t["out_topK"].detach().numpy()),
+        canon(np.asarray(sf["F_topK"])),
+        atol=5e-4,
+    )
+
+    # (2) the batched-subset SOLVER: run the reference's
+    # weighted_svd_batch on OUR sampled subsets and compare F matrices.
+    idx = np.asarray(sf["sample_idx"])  # [B, S, K]
+    S, K = idx.shape[1:]
+    g = lambda pts: np.take_along_axis(
+        pts[:, None], idx[..., None], axis=-2
+    ).reshape(B * S, K, 3)
+    w_sel = np.take_along_axis(w[:, None], idx, axis=-1).reshape(B * S, K)
+    F_t, _ = fit_t.weighted_svd_batch(
+        torch.tensor(g(pts1)), torch.tensor(g(pts2)),
+        torch.tensor(w_sel).unsqueeze(1),
+    )
+    np.testing.assert_allclose(
+        canon(F_t.detach().numpy().reshape(B, S, 3, 3)),
+        canon(np.asarray(sf["F_samples"])),
+        atol=2e-3,  # weight-proportional 20-subsets can be near-degenerate
+    )
+
+    # (3) score formula: prod(w*1000)/sum == softmax(sum log w) when the
+    # product does not overflow (the reference's f32 overflow at
+    # concentrated weights is the documented bug our log-space form
+    # fixes — ops fixed round 1).
+    w_t = torch.tensor(w_sel.reshape(B, S, K))
+    prod = torch.prod(w_t * 1000.0, dim=2)
+    score_ref = (prod / (prod.sum(dim=1, keepdim=True) + 1e-10)).numpy()
+    np.testing.assert_allclose(
+        np.asarray(sf["sample_scores"]), score_ref, atol=1e-6
+    )
