@@ -205,26 +205,42 @@ class ErrorEstimatorFeatFusion2Head(nn.Module):
 
 
 class GoodCorresNet(nn.Module):
-    """Legacy 'learning to find good correspondences' arch (ref:
-    models/GoodCorresNet.py:35-163): local MLP stem + global max-pool context
-    concatenated back per point + segmentation head.
+    """Legacy 'learning to find good correspondences' arch — the PointNet
+    part-segmentation network (ref: models/GoodCorresNet.py:35-163, itself
+    dead code upstream: its Stem/SharedMLP come from the external 'shaper'
+    package whose import is disabled, so only the architecture spec
+    survives). Faithful structure: stem (64, 128, 128) -> local MLP
+    (512, 2048) -> global max-pool -> per-point concat of ALL intermediate
+    features [stem... local... global] (:168: 64+128+128+512+2048+2048)
+    -> seg head (256, 256) -> conv_seg 128 -> logits. Conv1d(+IN)+ReLU
+    blocks throughout (shaper defaults); dropout is inert at our use site
+    (inference-style eval of a deprecated ablation arch).
     """
 
     output_size: int = 1
+    stem_channels: tuple = (64, 128, 128)
+    local_channels: tuple = (512, 2048)
+    seg_channels: tuple = (256, 256, 128)
     bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # Local stem.
-        for f in (64, 128, 1024):
-            x = nn.Dense(f, use_bias=True)(x)
-            x = InstanceNorm1d(f)(x)
-            x = nn.leaky_relu(x, negative_slope=0.01)
-        # Global context: max over points, broadcast back.
-        g = jnp.max(x, axis=-2, keepdims=True)
-        x = jnp.concatenate([x, jnp.broadcast_to(g, x.shape)], axis=-1)
-        for f in (512, 256):
-            x = nn.Dense(f, use_bias=True)(x)
-            x = InstanceNorm1d(f)(x)
-            x = nn.leaky_relu(x, negative_slope=0.01)
-        return nn.Dense(self.output_size, use_bias=True)(x)
+        def block(y, f, name):
+            y = nn.Dense(f, use_bias=True, name=f"{name}_conv")(y)
+            y = InstanceNorm1d(f, name=f"{name}_in")(y)
+            return nn.relu(y)
+
+        skips = []
+        for i, f in enumerate(self.stem_channels):
+            x = block(x, f, f"stem{i}")
+            skips.append(x)
+        for i, f in enumerate(self.local_channels):
+            x = block(x, f, f"local{i}")
+            skips.append(x)
+        g = jnp.max(x, axis=-2, keepdims=True)  # global feature
+        x = jnp.concatenate(
+            skips + [jnp.broadcast_to(g, x.shape)], axis=-1
+        )
+        for i, f in enumerate(self.seg_channels):
+            x = block(x, f, f"seg{i}")
+        return nn.Dense(self.output_size, use_bias=True, name="logits")(x)
