@@ -22,11 +22,24 @@ extra metrics (same JSON line):
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# Persistent XLA compilation cache: bench compiles are large and the
+# tunnel makes them slow on bad chip days; cached executables cut a rerun's
+# warmup from minutes to seconds.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 — older jax; cache is best-effort
+    pass
+
 import jax.numpy as jnp
 
 FALLBACK_REFERENCE_PAIRS_PER_S = 25.0
