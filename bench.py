@@ -63,7 +63,10 @@ def measure_reference_baseline():
     try:
         import sys
 
-        sys.path.insert(0, "tests")
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests")
+        )
         import torch
 
         from _reference_oracle import load_reference
@@ -113,7 +116,10 @@ def measure_reference_baseline():
         dt = (time.perf_counter() - t0) / n
         return B / dt, "measured"
     except Exception as e:  # noqa: BLE001 — bench must always print
-        print(f"# reference baseline unavailable: {e!r}")
+        import sys
+
+        # stderr: stdout carries exactly ONE JSON line (driver contract).
+        print(f"# reference baseline unavailable: {e!r}", file=sys.stderr)
         return FALLBACK_REFERENCE_PAIRS_PER_S, "estimated"
 
 
@@ -162,9 +168,12 @@ def bench_solver_step():
     if per_step > 0.1:
         iters = max(5, int(6.0 / per_step))
         repeats = 1
+        import sys
+
         print(
             f"# slow device ({per_step*1e3:.0f} ms/step observed); "
             f"reducing to {iters} iters x {repeats}",
+            file=sys.stderr,
             flush=True,
         )
 

@@ -21,6 +21,8 @@ points. Batches come out in the same schema as `SyntheticPairs`.
 from __future__ import annotations
 
 import os
+import re
+import sys
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -150,15 +152,26 @@ class KittiCorrDataset:
                 # Reference scene names carry the camera id as a suffix
                 # (kitti '00_02', apollo '..._1'/'..._5'; kitti_odo_corr.py
                 # :66-69) and the cam0->cam2 conjugation applies only to
-                # cam '02' (:202-207). Infer per scene; fall back to the
-                # constructor cam_id for unsuffixed (synthetic) trees.
+                # cam '02' (:202-207). Infer per scene — but ONLY when the
+                # name matches the reference naming shapes (two-digit kitti
+                # seq + cam suffix, or an apollo Record name), so that
+                # user-named trees like 'run_1'/'exp_5' keep the
+                # constructor cam_id. Log when inference overrides it.
                 cam_id = self.cam_id
-                for suf, cid in (
-                    ("_02", "02"), ("_00", "00"), ("_1", "_1"), ("_5", "_5")
-                ):
-                    if scene_name.endswith(suf):
-                        cam_id = cid
-                        break
+                inferred = None
+                if re.fullmatch(r"\d{2}_(00|02)", scene_name):
+                    inferred = scene_name[-2:]
+                elif re.fullmatch(r".*[Rr]ecord\d+.*_([15])", scene_name):
+                    inferred = scene_name[-2:]  # '_1' / '_5'
+                if inferred is not None:
+                    if inferred != self.cam_id:
+                        print(
+                            f"# kitti loader: scene '{scene_name}' implies "
+                            f"cam_id {inferred!r} (constructor said "
+                            f"{self.cam_id!r}); using {inferred!r}",
+                            file=sys.stderr,
+                        )
+                    cam_id = inferred
                 if cam_id == "02":
                     rel = Rt_cam2_gt @ rel @ np.linalg.inv(Rt_cam2_gt)
                 self.samples.append(

@@ -90,8 +90,12 @@ def _refine_one(
             # observation's weight by min(1, delta/|r|) of its CURRENT
             # reprojection error (same robustification as
             # ba.pose_graph's IRLS). vis doubles as the weight channel.
-            r_cur, _ = reprojection_residuals(prob._replace(vis=vis))
-            rn = jnp.linalg.norm(r_cur, axis=-1)  # [2, N]
+            # The threshold comparison must happen in PIXELS: evaluate the
+            # residual with unit weights (masked to observed points) so
+            # huber_px is not compared against weight-shrunken magnitudes.
+            unit_vis = jnp.where(vis > 0, jnp.ones_like(vis), 0.0)
+            r_cur, _ = reprojection_residuals(prob._replace(vis=unit_vis))
+            rn = jnp.linalg.norm(r_cur, axis=-1)  # [2, N] in px
             w_irls = jnp.minimum(1.0, huber_px / (rn + 1e-9))
             prob = prob._replace(vis=vis * w_irls)
         prob, info = sqrt_ba_step(

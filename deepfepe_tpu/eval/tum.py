@@ -198,6 +198,16 @@ def rpe(
         max_pairs=max_pairs, fixed_delta=fixed_delta, delta=delta,
         delta_unit=delta_unit, **kw,
     )
+    if len(res) == 0:
+        # No comparison pairs (trajectory shorter than delta, or every
+        # fixed-delta pair fell off the end) — report emptiness instead of
+        # IndexError'ing on res[:, 4] (the reference script raises with a
+        # "couldn't find matching timestamp pairs" message here).
+        return {
+            "trans_rmse": float("nan"), "trans_mean": float("nan"),
+            "trans_median": float("nan"), "rot_rmse_deg": float("nan"),
+            "rot_mean_deg": float("nan"), "num_pairs": 0,
+        }
     t_errs, r_errs = res[:, 4], res[:, 5]
     return {
         "trans_rmse": float(np.sqrt(np.mean(t_errs**2))),

@@ -72,11 +72,10 @@ def mutual_nn_match(
     keypoints are excluded. Matches are sorted best-first and padded to
     `num_matches` (default K).
 
-    The pallas backend zeroes invalid descriptors instead of masking the
-    distance matrix, so a valid row whose every valid dot-product is
-    negative may nominate an invalid column — at distance sqrt(2), above
-    any standard nn_thresh (<= 1.0), so the match sets agree wherever the
-    threshold applies (asserted in tests at matched thresholds).
+    Both backends exclude invalid (padded) keypoints exactly: the xla path
+    masks the distance matrix, the pallas kernel applies an additive -1e9
+    similarity mask in-kernel, so the match sets agree for any nn_thresh
+    (a valid pair whose best similarity is negative still wins its argmax).
     """
     B, K, _ = desc1.shape
     num_matches = num_matches or K

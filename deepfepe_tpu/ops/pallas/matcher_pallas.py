@@ -17,18 +17,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _matcher_kernel(d1_ref, d2_ref, nn12_ref, nn21_ref, dist12_ref):
-    # d1_ref/d2_ref: [1, K, D]; outputs: [1, 1, K] each (the singleton
+def _matcher_kernel(d1_ref, d2_ref, m1_ref, m2_ref, nn12_ref, nn21_ref,
+                    dist12_ref):
+    # d1_ref/d2_ref: [1, K, D]; m1/m2: [1, 1, K] additive validity masks
+    # (0 valid / -1e9 invalid); outputs: [1, 1, K] each (the singleton
     # middle axis keeps the block's last-two dims TPU-tileable — a plain
     # [1, K] output block fails Mosaic's divisible-by-8 rule for B > 1).
     d1 = d1_ref[0]  # [K, D]
     d2 = d2_ref[0]
+    m1 = m1_ref[0, 0, :]  # [K]
+    m2 = m2_ref[0, 0, :]
     # Similarity on the MXU; distance = sqrt(2 - 2 dot) is monotone in -dot,
-    # so argmin(distance) == argmax(dot).
+    # so argmin(distance) == argmax(dot). Invalid keypoints are excluded by
+    # an ADDITIVE large-negative mask — exact even when a valid pair's best
+    # similarity is negative (descriptor zeroing gave invalid rows
+    # similarity 0, which could out-argmax a valid negative-dot match).
     dot = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)  # [K, K]
-    nn12 = jnp.argmax(dot, axis=1)
-    nn21 = jnp.argmax(dot, axis=0)
-    best12 = jnp.max(dot, axis=1)
+    dot12 = dot + m2[None, :]  # invalid columns never win argmax over j
+    dot21 = dot + m1[:, None]  # invalid rows never win argmax over i
+    nn12 = jnp.argmax(dot12, axis=1)
+    nn21 = jnp.argmax(dot21, axis=0)
+    best12 = jnp.max(dot12, axis=1)
     nn12_ref[0, 0, :] = nn12.astype(jnp.int32)
     nn21_ref[0, 0, :] = nn21.astype(jnp.int32)
     dist12_ref[0, 0, :] = jnp.sqrt(
@@ -44,14 +53,13 @@ def mutual_nn_pallas(
     valid2: jnp.ndarray,
 ):
     """Returns (nn12 [B,K] int32, nn21 [B,K] int32, dist12 [B,K] f32,
-    mutual [B,K] bool). Padded (invalid) keypoints are excluded by pushing
-    their similarity to -inf before the kernel (descriptor zeroing)."""
+    mutual [B,K] bool). Padded (invalid) keypoints are excluded in-kernel
+    by an additive -1e9 similarity mask on invalid rows/columns, so the
+    match set is exactly the masked-XLA path's for any nn_thresh."""
     B, K, D = desc1.shape
-    # Invalid descriptors -> large negative similarity via masking trick:
-    # zero them and add a -2 offset column is complex in-kernel; instead
-    # scale invalid rows to a far-away unit vector impossible to match:
-    d1 = jnp.where(valid1[..., None], desc1, 0.0)
-    d2 = jnp.where(valid2[..., None], desc2, 0.0)
+    neg = jnp.float32(-1e9)
+    m1 = jnp.where(valid1, 0.0, neg).astype(jnp.float32)[:, None, :]
+    m2 = jnp.where(valid2, 0.0, neg).astype(jnp.float32)[:, None, :]
 
     nn12, nn21, dist12 = pl.pallas_call(
         _matcher_kernel,
@@ -59,6 +67,8 @@ def mutual_nn_pallas(
         in_specs=[
             pl.BlockSpec((1, K, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -70,7 +80,7 @@ def mutual_nn_pallas(
             jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, K), jnp.float32),
         ),
-    )(d1, d2)
+    )(desc1, desc2, m1, m2)
     nn12, nn21, dist12 = nn12[:, 0], nn21[:, 0], dist12[:, 0]
 
     i_idx = jnp.arange(K)

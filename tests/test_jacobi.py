@@ -118,6 +118,51 @@ def test_matcher_pallas_interpret(rng):
     assert got_pairs == ref_pairs
 
 
+def test_matcher_pallas_negative_similarity_with_invalids(rng):
+    """A valid pair whose best similarity is NEGATIVE must survive when
+    invalid (padded) keypoints are present.
+
+    Regression: descriptor-zeroing gave invalid rows similarity 0 with
+    everything, so an all-negative-dot valid row lost its argmax to an
+    invalid column and the mutual mask dropped the match. The kernel now
+    applies an additive -1e9 mask in-kernel (matcher_pallas.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepfepe_tpu.frontend.matching import mutual_nn_match
+
+    B, K, D = 1, 16, 8
+    # Construct descriptors so every cross dot-product is negative: put
+    # d1 in the +e0 half-space and d2 in the -e0 half-space, with a
+    # matched pair (0, 0) that is each other's (negative-dot) best.
+    d1 = 0.05 * rng.randn(B, K, D).astype(np.float32)
+    d1[..., 0] = 1.0
+    d2 = 0.05 * rng.randn(B, K, D).astype(np.float32)
+    d2[..., 0] = -1.0
+    # Make pair (0,0) the clear mutual best: least-negative dot.
+    d1[:, 0, 1] = 2.0
+    d2[:, 0, 1] = 2.0
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    valid = np.ones((B, K), bool)
+    valid[:, K // 2:] = False  # half the keypoints are padding
+
+    args = (jnp.asarray(d1), jnp.asarray(d2),
+            jnp.asarray(valid), jnp.asarray(valid))
+    ref = mutual_nn_match(*args, nn_thresh=2.0, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = mutual_nn_match(*args, nn_thresh=2.0, backend="pallas")
+
+    def pairs(m):
+        return {
+            (b, int(m.idx1[b, k]), int(m.idx2[b, k]))
+            for b in range(B) for k in range(m.valid.shape[1])
+            if bool(m.valid[b, k])
+        }
+
+    assert (0, 0, 0) in pairs(ref)  # the scenario produced the pair at all
+    assert pairs(got) == pairs(ref)
+
+
 @pytest.mark.slow
 def test_matcher_backend_parity_interpret(rng):
     """mutual_nn_match(backend='pallas') == backend='xla' end to end (match

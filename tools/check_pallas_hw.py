@@ -49,17 +49,6 @@ def eigh9():
 def matcher():
     from deepfepe_tpu.frontend.matching import mutual_nn_match
 
-    rng = np.random.RandomState(1)
-    B, K, D = 4, 1024, 256
-    base = rng.randn(B, K, D).astype(np.float32)
-    d1 = base / np.linalg.norm(base, axis=-1, keepdims=True)
-    d2p = base + 0.3 * rng.randn(B, K, D).astype(np.float32)
-    d2 = d2p / np.linalg.norm(d2p, axis=-1, keepdims=True)
-    v = jnp.ones((B, K), bool)
-    a1, a2 = jnp.asarray(d1), jnp.asarray(d2)
-    ref = mutual_nn_match(a1, a2, v, v, nn_thresh=0.9, backend="xla")
-    got = mutual_nn_match(a1, a2, v, v, nn_thresh=0.9, backend="pallas")
-
     # Compare as SETS: the best-first sort breaks float ties differently
     # between backends, so elementwise index comparison is meaningless.
     def pairs(m):
@@ -71,13 +60,32 @@ def matcher():
             for k in range(val.shape[1]) if val[b, k]
         }
 
-    pr, pg = pairs(ref), pairs(got)
-    if pr != pg:
-        raise AssertionError(f"match sets differ ({len(pr ^ pg)} pairs)")
-    return float(
-        abs(np.sort(np.asarray(ref.scores), axis=None)
-            - np.sort(np.asarray(got.scores), axis=None)).max()
-    )
+    rng = np.random.RandomState(1)
+    worst = 0.0
+    # Production SP fan-outs (out_num_points 1000-2000), with and without
+    # padding — the padded case exercises the in-kernel -1e9 validity mask.
+    for B, K, frac_valid in [(4, 1024, 1.0), (4, 1024, 0.7), (2, 2048, 0.8)]:
+        D = 256
+        base = rng.randn(B, K, D).astype(np.float32)
+        d1 = base / np.linalg.norm(base, axis=-1, keepdims=True)
+        d2p = base + 0.3 * rng.randn(B, K, D).astype(np.float32)
+        d2 = d2p / np.linalg.norm(d2p, axis=-1, keepdims=True)
+        v1 = jnp.asarray(rng.rand(B, K) < frac_valid)
+        v2 = jnp.asarray(rng.rand(B, K) < frac_valid)
+        a1, a2 = jnp.asarray(d1), jnp.asarray(d2)
+        ref = mutual_nn_match(a1, a2, v1, v2, nn_thresh=0.9, backend="xla")
+        got = mutual_nn_match(a1, a2, v1, v2, nn_thresh=0.9, backend="pallas")
+        pr, pg = pairs(ref), pairs(got)
+        if pr != pg:
+            raise AssertionError(
+                f"match sets differ at K={K} frac={frac_valid} "
+                f"({len(pr ^ pg)} pairs)"
+            )
+        worst = max(worst, float(
+            abs(np.sort(np.asarray(ref.scores), axis=None)
+                - np.sort(np.asarray(got.scores), axis=None)).max()
+        ))
+    return worst
 
 
 def epi_residual():
