@@ -111,9 +111,35 @@ def cmd_eval(args):
                "Rt_cam2_gt": []}
     key = jax.random.PRNGKey(0)
     count = 0
-    for batch in val_ds.batches(bs):
+    try:
+        # Deterministic pair order + keep the tail: the reference's eval
+        # iterates the whole val split unshuffled (train_good.py
+        # val_shuffle=False under --test, torch DataLoader drop_last
+        # default False), and the npz dumps are consumed positionally by
+        # the VO chain / parity diffs.
+        batch_iter = val_ds.batches(bs, shuffle=False, drop_last=False)
+    except TypeError:  # synthetic stream: infinite, already deterministic
+        batch_iter = val_ds.batches(bs)
+
+    def _pad_batch(batch, n_real):
+        # A short final batch is padded by repeating its last item so the
+        # jitted eval keeps one static shape; padded rows are trimmed from
+        # the results below.
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if v.ndim and v.shape[0] == n_real:
+                reps = np.repeat(v[-1:], bs - n_real, axis=0)
+                v = np.concatenate([v, reps], axis=0)
+            out[k] = v
+        return out
+
+    for batch in batch_iter:
         if args.max_batches and count >= args.max_batches:
             break
+        n_real = int(np.asarray(batch["Ks"]).shape[0])
+        if n_real < bs:
+            batch = _pad_batch(batch, n_real)
         sharded = shard_batch(trainer.mesh, batch)
         metrics = trainer.eval_step(trainer.state.params, sharded)
         key, sub = jax.random.split(key)
@@ -161,21 +187,24 @@ def cmd_eval(args):
                 )
             )
             et_est = np.minimum(et_raw, 180.0 - et_raw)
-        results["err_q"].append(eq_est)
-        results["err_t"].append(et_est)
-        results["err_q_base"].append(np.asarray(rt["err_q_base"]))
-        results["err_t_base"].append(np.asarray(rt["err_t_base"]))
-        results["err_q_gt"].append(np.asarray(rt["err_q_gt"]))
-        results["err_t_gt"].append(np.asarray(rt["err_t_gt"]))
-        results["M_cam_est"].append(M_cam_est)
-        results["M_cam_base"].append(np.asarray(rt["M_cam_base"]))
-        results["epi_dists_est"].append(np.asarray(rt["epi_dists_est"]))
-        results["epi_dists_base"].append(np.asarray(rt["epi_dists_base"]))
-        b = metrics["E_ests"].shape[0]
+        results["err_q"].append(eq_est[:n_real])
+        results["err_t"].append(et_est[:n_real])
+        results["err_q_base"].append(np.asarray(rt["err_q_base"])[:n_real])
+        results["err_t_base"].append(np.asarray(rt["err_t_base"])[:n_real])
+        results["err_q_gt"].append(np.asarray(rt["err_q_gt"])[:n_real])
+        results["err_t_gt"].append(np.asarray(rt["err_t_gt"])[:n_real])
+        results["M_cam_est"].append(M_cam_est[:n_real])
+        results["M_cam_base"].append(np.asarray(rt["M_cam_base"])[:n_real])
+        results["epi_dists_est"].append(
+            np.asarray(rt["epi_dists_est"])[:n_real]
+        )
+        results["epi_dists_base"].append(
+            np.asarray(rt["epi_dists_base"])[:n_real]
+        )
         results["Rt_cam2_gt"].append(
-            np.asarray(sharded["Rt_cam2_gt"])
-            if "Rt_cam2_gt" in sharded
-            else np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+            (np.asarray(sharded["Rt_cam2_gt"])
+             if "Rt_cam2_gt" in sharded
+             else np.tile(np.eye(4, dtype=np.float32), (bs, 1, 1)))[:n_real]
         )
         count += 1
 

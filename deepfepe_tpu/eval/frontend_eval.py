@@ -42,9 +42,12 @@ def frontend_epidist_eval(
         matches = matches + noise_std * jax.random.normal(
             noise_key, matches.shape
         )
-    d, _, _ = epi_distance(
+    # epi_distance_np dist3 convention (sum of both one-sided distances)
+    # — what the reference's evaluation_epiDist scores against gt F.
+    _, d1, d2 = epi_distance(
         F_gt, matches[..., :2], matches[..., 2:4], if_homo=False
     )
+    d = d1 + d2
     valid = out["valid"]
     nv = jnp.sum(valid, axis=-1)
     ratios = {

@@ -68,7 +68,13 @@ def val_rt_batch(
         rec = recover_pose(E, x1n, x2n)
         err_q, err_t, M_cam, M = _pose_errors(rec.R, rec.t, delta_inv)
         F = E_to_F(E, Ks)
-        epi, _, _ = epi_distance(F, x1, x2, if_homo=False)
+        # Eval convention: the reference's val path scores with
+        # epi_distance_np's dist3 = d1 + d2 (the SUM of the two one-sided
+        # line distances, utils_F.py:383-386), NOT the torch
+        # _epi_distance mean — found by the full-system npz diff
+        # (test_full_system_parity).
+        _, d1, d2 = epi_distance(F, x1, x2, if_homo=False)
+        epi = d1 + d2
         out[f"err_q_{name}"] = err_q
         out[f"err_t_{name}"] = err_t
         out[f"M_cam_{name}"] = M_cam
@@ -97,7 +103,8 @@ def val_rt_batch(
             E_base = F_to_E(rr.F, Ks)
         rec = recover_pose(E_base, x1n, x2n)
         err_q, err_t, M_cam, M = _pose_errors(rec.R, rec.t, delta_inv)
-        epi, _, _ = epi_distance(F_base, x1, x2, if_homo=False)
+        _, d1, d2 = epi_distance(F_base, x1, x2, if_homo=False)
+        epi = d1 + d2  # epi_distance_np dist3 convention (see above)
         out.update(
             {
                 "err_q_base": err_q,

@@ -208,7 +208,11 @@ def epi_distance(
     """Unsquared mean/one-sided epipolar line distances.
 
     Returns (mean of both sides, dist to line in img2, dist to line in img1);
-    exact port of utils_F._epi_distance :341 / epi_distance_np :363.
+    exact port of utils_F._epi_distance :341 (torch, MEAN convention).
+    NOTE the reference's numpy twin epi_distance_np :363 returns the SUM
+    (dist3 = d1 + d2) as its first value and that is what the eval paths
+    (val_rt npz dumps, evaluation_epiDist) score with — eval callers here
+    use `d1 + d2` accordingly (eval/val_rt.py, eval/frontend_eval.py).
     """
     s, Fx1, Ftx2 = _prep(pts1, pts2, F, if_homo)
     nom = jnp.abs(s)

@@ -1,0 +1,266 @@
+"""FULL-SYSTEM eval parity: the reference's `train_good.py eval_good` vs
+our `cli.py eval_good`, on one shared dump tree with identical imported
+weights, diffed npz-to-npz.
+
+This is the system-level closure of the module parity harness
+(test_reference_parity.py): the reference's real CLI path
+(`/root/reference/deepFEPE/train_good.py:93-98` ->
+`Train_model_pipeline.py:239-297` val loop + npz dump) runs live
+in-container and its per-pair outputs (err_q / err_t / relative poses /
+epipolar distances) must agree with ours field by field.
+
+Alignment preconditions engineered by the fixture:
+  - every pair's match pool is truncated to EXACTLY good_num rows, so both
+    stacks see the same correspondence SET (their crop-or-pad rngs produce
+    different ORDERS — the solver is permutation-invariant: per-point MLP,
+    softmax + weighted Gram fit over N);
+  - the pair count is a multiple of the batch size;
+  - our eval iterates unshuffled (cli.cmd_eval), matching the reference's
+    val_shuffle=False test path.
+
+Measured deltas are recorded in PARITY.md §full-system.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+cv2 = pytest.importorskip("cv2")
+torch = pytest.importorskip("torch")
+
+H, W = 240, 320
+GOOD_NUM = 100
+BATCH = 8
+N_FRAMES = 17  # -> 16 pairs = 2 full batches
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def shared_tree(tmp_path_factory):
+    """One dump tree + one torch checkpoint, consumed by both stacks."""
+    from _reference_oracle import load_reference
+    from _reference_system import save_reference_checkpoint
+
+    from deepfepe_tpu.data.dump_kitti import dump_sequence
+    from deepfepe_tpu.data.synthetic_images import SyntheticImageSequence
+
+    root = tmp_path_factory.mktemp("system_parity")
+    # Persistent-scene renderer: consecutive frames are photometrically
+    # consistent, so SIFT tracks across the whole sequence (the dump
+    # workflow's data model). A generous step_length gives each pair real
+    # parallax, so even the untrained (near-uniform-weight ≈ plain
+    # 8-point) fit is well-conditioned and both stacks' estimates are
+    # meaningful — the parity diff then measures the SYSTEMS, not
+    # decomposition noise on junk E's.
+    seq = SyntheticImageSequence(n_frames=N_FRAMES, image_size=(H, W),
+                                 step_length=0.45, seed=77)
+    imgs = seq.frames()
+    cam2world = seq.cam2world_poses()
+
+    files = []
+    for i, im in enumerate(imgs):
+        f = root / f"src_{i}.jpg"
+        cv2.imwrite(str(f), (im * 255).astype(np.uint8))
+        files.append(str(f))
+    scene = root / "00_02"
+    dump_sequence(files, np.stack(cam2world), seq.K, str(scene))
+
+    # Truncate every pair's good-match pool to exactly good_num rows so the
+    # two stacks' crop-or-pad draws select the same set (docstring above).
+    pools = []
+    for i in range(N_FRAMES - 1):
+        p = scene / f"ij_match_quality_{i}-{i + 1}_good.npy"
+        pools.append(np.load(p))
+    good_num = min(GOOD_NUM, min(len(r) for r in pools))
+    assert good_num >= 32, f"too few matches ({good_num}) for a solver run"
+    for i, rows in enumerate(pools):
+        np.save(
+            scene / f"ij_match_quality_{i}-{i + 1}_good.npy",
+            rows[:good_num],
+        )
+
+    for task in ("train", "val", "test"):
+        with open(root / f"{task}.txt", "w") as f:
+            for i in range(N_FRAMES - 1):
+                f.write(f"00_02 {i:06d}\n")
+
+    # One set of weights, saved in the reference's .pth.tar format; both
+    # stacks import it (ours via utils/torch_import on --pretrained).
+    ref = load_reference()
+    torch.manual_seed(7)
+    net = ref.DeepFNet(
+        depth=5, image_size=[H, W, 3], if_quality=False,
+        is_cuda=False, is_test=False, if_cpu_svd=True,
+    )
+    ckpt = root / "shared_deepF.pth.tar"
+    save_reference_checkpoint(net, str(ckpt))
+    return {"root": root, "ckpt": ckpt, "good_num": good_num}
+
+
+@pytest.fixture(scope="module")
+def reference_npz(shared_tree, tmp_path_factory):
+    from _reference_system import (
+        make_reference_eval_config,
+        run_reference_eval_good,
+    )
+
+    cfg = make_reference_eval_config(
+        shared_tree["root"], shared_tree["ckpt"],
+        good_num=shared_tree["good_num"], image_hw=(H, W),
+        batch_size=BATCH,
+    )
+    out = tmp_path_factory.mktemp("ref_eval")
+    return run_reference_eval_good(cfg, str(out))
+
+
+@pytest.fixture(scope="module")
+def ours_npz(shared_tree, tmp_path_factory):
+    from deepfepe_tpu.cli import main
+
+    out = tmp_path_factory.mktemp("our_eval")
+    cfg = {
+        "data": {
+            "dataset": "kitti_odo_corr",
+            "dump_root": str(shared_tree["root"]),
+            "sequence_length": 2,
+            "delta_ij": 1,
+            "batch_size": BATCH,
+            "good_num": shared_tree["good_num"],
+            "image": {"size": [H, W, 3]},
+            "preprocessing": {"resize": [H, W]},
+        },
+        "model": {
+            "name": "GoodCorresNet_layers_deepF",
+            "depth": 5,
+            "clamp_at": 0.02,
+            "if_quality": False,
+            "if_qt_loss": False,
+        },
+        "exps": {
+            "five_point": False,
+            "base_name": "opencv_8p",
+            "our_name": "DeepF",
+            "filename": "err_ratio.npz",
+        },
+        "training": {"learning_rate": 1.0e-4, "train_iter": 0,
+                     "reproduce": True, "seed": 0},
+    }
+    cfg_path = out / "eval.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    cwd = os.getcwd()
+    try:
+        os.chdir(out)  # cli writes logs/<exper_name>/ under cwd
+        main(["eval_good", str(cfg_path), "sysparity",
+              "--pretrained", str(shared_tree["ckpt"])])
+    finally:
+        os.chdir(cwd)
+    d = out / "logs" / "sysparity"
+    return {
+        "our": dict(np.load(d / "DeepF_err_ratio.npz")),
+        "base": dict(np.load(d / "opencv_8p_err_ratio.npz")),
+    }
+
+
+def test_reference_system_runs_and_dumps(reference_npz):
+    our = reference_npz["our"]
+    for k in ("err_q", "err_t", "epi_dists",
+              "relative_poses_cam", "relative_poses_body"):
+        assert k in our, f"reference npz missing {k}"
+    assert our["err_q"].shape == (N_FRAMES - 1,)
+    assert np.all(np.isfinite(our["err_q"]))
+
+
+def test_full_system_err_parity(reference_npz, ours_npz):
+    """Per-pair DeepF err_q/err_t from the two complete systems agree
+    wherever the system produced a meaningful estimate."""
+    ref, ours = reference_npz["our"], ours_npz["our"]
+    assert ref["err_q"].shape == ours["err_q"].shape
+    dq = np.abs(ref["err_q"] - ours["err_q"])
+    dt = np.abs(ref["err_t"] - ours["err_t"])
+    print("\nref err_q:", np.round(ref["err_q"], 3))
+    print("our err_q:", np.round(ours["err_q"], 3))
+    print("ref err_t:", np.round(ref["err_t"], 3))
+    print("our err_t:", np.round(ours["err_t"], 3))
+    # Gate calibration (all MEASURED, see PARITY.md §full-system):
+    # the depth-5 recurrence at this operating point amplifies float
+    # reassociation — the REFERENCE run twice on the same match set in two
+    # row orders shifts its own t-direction by up to 6.5 deg and E by 7e-2
+    # (tools-level experiment recorded in PARITY.md). The two stacks see
+    # the same match SET in different crop-or-pad orders, so per-pair
+    # deltas up to that sensitivity are intrinsic; medians stay tight.
+    good = (ref["err_q"] < 30.0) & (ours["err_q"] < 30.0)
+    assert np.sum(good) >= 0.7 * len(dq), f"only {np.sum(good)} good pairs"
+    assert np.median(dq) < 0.05, f"median err_q delta {np.median(dq):.4f}"
+    assert np.median(dt) < 0.5, f"median err_t delta {np.median(dt):.4f}"
+    assert np.max(dq[good]) < 5.0, f"max good err_q delta {np.max(dq[good]):.4f}"
+    assert np.max(dt[good]) < 15.0, f"max good err_t delta {np.max(dt[good]):.4f}"
+    for i in np.nonzero(~good)[0]:
+        assert ref["err_q"][i] > 30.0 and ours["err_q"][i] > 30.0, (
+            f"pair {i}: one stack succeeded where the other failed "
+            f"(ref {ref['err_q'][i]:.2f} vs ours {ours['err_q'][i]:.2f})"
+        )
+
+
+def test_full_system_pose_parity(reference_npz, ours_npz):
+    """The dumped relative poses (cam + body frame) agree per pair (on
+    pairs where both systems produced a meaningful estimate — see
+    test_full_system_err_parity for the junk-pair story)."""
+    ref, ours = reference_npz["our"], ours_npz["our"]
+    good = (ref["err_q"] < 30.0) & (ours["err_q"] < 30.0)
+    for key in ("relative_poses_cam", "relative_poses_body"):
+        A = np.asarray(ref[key], np.float64)[:, :3, :]
+        B = np.asarray(ours[key], np.float64)[:, :3, :]
+        assert A.shape == B.shape
+        # Rotation block agreement (deg) + unit-translation angle.
+        for i, (a, b) in enumerate(zip(A, B)):
+            if not good[i]:
+                continue
+            Rerr = np.degrees(np.arccos(np.clip(
+                (np.trace(a[:, :3].T @ b[:, :3]) - 1) / 2, -1, 1)))
+            ta = a[:, 3] / (np.linalg.norm(a[:, 3]) + 1e-12)
+            tb = b[:, 3] / (np.linalg.norm(b[:, 3]) + 1e-12)
+            terr = np.degrees(np.arccos(np.clip(abs(ta @ tb), -1, 1)))
+            # Gates = the measured row-order sensitivity of the reference
+            # itself at this operating point (see test_full_system_err
+            # _parity's calibration note + PARITY.md).
+            assert Rerr < 5.0, f"{key}[{i}]: rotation delta {Rerr:.3f} deg"
+            assert terr < 15.0, f"{key}[{i}]: translation delta {terr:.3f}"
+
+
+def test_full_system_epi_dist_parity(reference_npz, ours_npz):
+    """Stored epipolar distances (10 random points of the same multiset,
+    different crop-or-pad orders) agree in distribution per pair."""
+    ref = np.asarray(reference_npz["our"]["epi_dists"], np.float64)
+    ours = np.asarray(ours_npz["our"]["epi_dists"], np.float64)
+    ref = ref.reshape(ref.shape[0], -1)
+    ours = ours.reshape(ours.shape[0], -1)
+    m_ref = np.median(ref, axis=1)
+    m_our = np.median(ours, axis=1)
+    # Same F -> same distance multiset; 10-sample medians wobble, so gate
+    # on the aggregate.
+    assert abs(np.median(m_ref) - np.median(m_our)) < max(
+        0.5 * np.median(m_ref), 0.05
+    )
+
+
+def test_full_system_baseline_statistics(reference_npz, ours_npz):
+    """base_name rows: the reference's cv2 8-point RANSAC vs our native
+    vmapped RANSAC — independent estimators on the same matches, so only
+    distribution-level agreement is expected."""
+    ref, ours = reference_npz["base"], ours_npz["base"]
+    assert ref["err_q"].shape == ours["err_q"].shape
+    # Rotations: both should nail them on this near-pure-forward motion.
+    assert np.median(ref["err_q"]) < 2.0
+    assert np.median(ours["err_q"]) < 2.0
+    # Translation direction on this scene is noise-limited for BOTH
+    # estimators (measured sweep: cv2@0.01px 20.5 deg median vs ours
+    # 17-27 deg across thresholds); gate on same-regime agreement.
+    mr, mo = np.median(ref["err_t"]), np.median(ours["err_t"])
+    assert mr < 60.0 and mo < 60.0
+    assert max(mr, mo) / max(min(mr, mo), 1e-6) < 2.5, (mr, mo)
