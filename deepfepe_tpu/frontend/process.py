@@ -72,6 +72,7 @@ def soft_argmax_refine(
     patch_size: int = 5,
     temperature: float | None = None,
     eps: float = 1e-10,
+    impl: str = "auto",
 ) -> Keypoints:
     """Differentiable subpixel refinement (ref: pred_soft_argmax).
 
@@ -81,7 +82,23 @@ def soft_argmax_refine(
     patch/T instead). The offset carries the gradient path from the solver
     back into the SuperPoint CNN (matches_use = xs + offsets,
     Train_model_pipeline.py:384).
+
+    impl='conv' (the 'auto' default for the center-of-mass case) computes
+    the offset fields as three depthwise correlations over the heatmap
+    (Σpatch, Σpatch·dx, Σpatch·dy) and evaluates them at the keypoints via
+    one-hot contractions — forward AND backward are convs + matmuls with
+    no per-point patch gathers (whose transpose is a scatter-add into
+    [B, H, W], the round-2 joint-backward bottleneck). Interior keypoints
+    (≥ patch//2 from the border) match impl='gather' exactly; at the
+    border 'conv' keeps the window centered (zero-padded) while 'gather'
+    shifts it inward. The softmax (temperature) variant is per-patch
+    nonlinear and always uses 'gather'.
     """
+    if impl == "auto":
+        impl = "gather" if temperature is not None else "conv"
+    if impl == "conv":
+        assert temperature is None, "softmax refinement needs impl='gather'"
+        return _soft_argmax_refine_conv(heatmap, kpts, patch_size, eps)
     B, H, W = heatmap.shape
     r = patch_size // 2
     dy, dx = jnp.meshgrid(
@@ -119,6 +136,62 @@ def soft_argmax_refine(
     return kpts._replace(offsets=offsets)
 
 
+def _soft_argmax_refine_conv(
+    heatmap: jnp.ndarray,
+    kpts: Keypoints,
+    patch_size: int = 5,
+    eps: float = 1e-10,
+) -> Keypoints:
+    """Scatter-free center-of-mass refinement (see soft_argmax_refine).
+
+    S  = corr(hm, 1)        Sx = corr(hm, dx)        Sy = corr(hm, dy)
+    offset(x, y) = (Sx/(S+eps), Sy/(S+eps)) evaluated at the (integer)
+    keypoint positions by one-hot row/column contractions.
+    """
+    B, H, W = heatmap.shape
+    dtype = jnp.float32  # tiny convs; keep offsets in full precision
+    hm = heatmap.astype(dtype)
+    r = patch_size // 2
+    u = jnp.arange(-r, r + 1, dtype=dtype)
+    ones = jnp.ones((patch_size, patch_size), dtype)
+    kx = jnp.tile(u[None, :], (patch_size, 1))   # varies along W
+    ky = jnp.tile(u[:, None], (1, patch_size))   # varies along H
+    kernel = jnp.stack([ones, kx, ky], axis=-1)[:, :, None, :]  # [k,k,1,3]
+    maps = jax.lax.conv_general_dilated(
+        hm[..., None], kernel,
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, H, W, 3] = (S, Sx, Sy)
+
+    xs = kpts.xy[..., 0].astype(jnp.int32)
+    ys = kpts.xy[..., 1].astype(jnp.int32)
+    ohx = (jnp.arange(W) == xs[..., None]).astype(dtype)  # [B, K, W]
+    ohy = (jnp.arange(H) == ys[..., None]).astype(dtype)  # [B, K, H]
+    t = jnp.einsum("bkw,bhwc->bkhc", ohx, maps,
+                   preferred_element_type=dtype)
+    vals = jnp.einsum("bkh,bkhc->bkc", ohy, t,
+                      preferred_element_type=dtype)  # [B, K, (S, Sx, Sy)]
+    offsets = jnp.stack(
+        [vals[..., 1] / (vals[..., 0] + eps),
+         vals[..., 2] / (vals[..., 0] + eps)],
+        axis=-1,
+    ).astype(heatmap.dtype)
+    offsets = jnp.where(kpts.valid[..., None], offsets, 0.0)
+    return kpts._replace(offsets=offsets)
+
+
+def _two_hot(idx0: jnp.ndarray, frac: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[..., K] int index + frac -> [..., K, size] rows with (1-frac) at
+    idx0 and frac at idx0+1: a dense 'bilinear selector' whose contraction
+    against an axis performs linear interpolation as a MATMUL (MXU) instead
+    of a gather — so the transpose under grad is another matmul, not a
+    serialized scatter (the round-2 joint-backward bottleneck)."""
+    iota = jnp.arange(size)
+    oh0 = (iota == idx0[..., None]).astype(frac.dtype)
+    oh1 = (iota == (idx0 + 1)[..., None]).astype(frac.dtype)
+    return oh0 * (1.0 - frac[..., None]) + oh1 * frac[..., None]
+
+
 def sample_descriptors(
     desc_map: jnp.ndarray, xy: jnp.ndarray, cell: int = 8, eps: float = 1e-10
 ) -> jnp.ndarray:
@@ -126,6 +199,12 @@ def sample_descriptors(
 
     desc_map: [B, Hc, Wc, D] (1/8 resolution); xy: [B, K, 2] pixel coords.
     Replacement for the reference's grid_sample-based batch_extract_features.
+
+    Implemented as a separable two-hot double contraction
+    d[k] = Σ_h Σ_w oy[k,h]·ox[k,w]·dm[h,w] — exactly the bilinear sample,
+    but both the forward and (crucially) the backward w.r.t. the dense map
+    are batched matmuls; the gather formulation's backward is a
+    scatter-add into [B, Hc, Wc, D], which serializes on TPU.
     """
     B, Hc, Wc, D = desc_map.shape
     # Map pixel coords to descriptor-grid coords (cell centers at .5 cells).
@@ -133,22 +212,20 @@ def sample_descriptors(
     gy = xy[..., 1] / cell - 0.5
     x0 = jnp.clip(jnp.floor(gx), 0, Wc - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(gy), 0, Hc - 2).astype(jnp.int32)
-    fx = jnp.clip(gx - x0, 0.0, 1.0)[..., None]
-    fy = jnp.clip(gy - y0, 0.0, 1.0)[..., None]
+    fx = jnp.clip(gx - x0, 0.0, 1.0)
+    fy = jnp.clip(gy - y0, 0.0, 1.0)
 
-    def gather(dm, ys, xs):
-        return jax.vmap(lambda yy, xx: dm[yy, xx])(ys, xs)
-
-    d00 = jax.vmap(gather)(desc_map, y0, x0)
-    d01 = jax.vmap(gather)(desc_map, y0, x0 + 1)
-    d10 = jax.vmap(gather)(desc_map, y0 + 1, x0)
-    d11 = jax.vmap(gather)(desc_map, y0 + 1, x0 + 1)
-    d = (
-        d00 * (1 - fx) * (1 - fy)
-        + d01 * fx * (1 - fy)
-        + d10 * (1 - fx) * fy
-        + d11 * fx * fy
+    ox = _two_hot(x0, fx, Wc)  # [B, K, Wc]
+    oy = _two_hot(y0, fy, Hc)  # [B, K, Hc]
+    # Contract W first: the [B, K, Hc, D] intermediate rides the smaller
+    # spatial axis (Hc < Wc for wide frames). f32 accumulation on the MXU.
+    t = jnp.einsum(
+        "bkw,bhwd->bkhd", ox, desc_map,
+        preferred_element_type=jnp.float32,
     )
+    d = jnp.einsum(
+        "bkh,bkhd->bkd", oy, t, preferred_element_type=jnp.float32,
+    ).astype(desc_map.dtype)
     return d / (safe_norm(d, axis=-1, keepdims=True) + eps)
 
 

@@ -182,3 +182,70 @@ def test_descriptor_distance_grad_finite_at_identical_descriptors():
 
     g = jax.grad(f)(d)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_softargmax_conv_matches_gather_interior(rng):
+    """The scatter-free conv implementation (the default) must equal the
+    per-point patch-gather implementation exactly for interior keypoints
+    (>= patch//2 from the border); at the border 'conv' keeps the window
+    centered (zero-padded) while 'gather' shifts it inward."""
+    B, H, W, K, r = 2, 48, 64, 32, 2
+    hm = jnp.asarray(rng.rand(B, H, W).astype(np.float32))
+    kp = topk_keypoints(nms_heatmap(hm, 4), K, conf_thresh=1e-4)
+    kg = soft_argmax_refine(hm, kp, patch_size=5, impl="gather")
+    kc = soft_argmax_refine(hm, kp, patch_size=5, impl="conv")
+    xy = np.asarray(kp.xy)
+    interior = (
+        (xy[..., 0] >= r) & (xy[..., 0] < W - r)
+        & (xy[..., 1] >= r) & (xy[..., 1] < H - r)
+        & np.asarray(kp.valid)
+    )
+    assert interior.sum() > K  # the scenario exercises the comparison
+    np.testing.assert_allclose(
+        np.asarray(kg.offsets)[interior], np.asarray(kc.offsets)[interior],
+        atol=1e-5,
+    )
+    # Both implementations carry heatmap gradients.
+    for impl in ("gather", "conv"):
+        g = jax.grad(
+            lambda h: jnp.sum(
+                soft_argmax_refine(h, kp, patch_size=5, impl=impl).offsets
+                ** 2
+            )
+        )(hm)
+        assert float(jnp.max(jnp.abs(g))) > 0, impl
+
+
+def test_sample_descriptors_matches_bilinear_oracle(rng):
+    """The separable two-hot einsum formulation (matmul fwd/bwd, no
+    scatters — the round-3 joint-backward fix) must equal a per-point
+    numpy bilinear oracle."""
+    B, Hc, Wc, D, K = 2, 6, 8, 16, 24
+    dm = rng.randn(B, Hc, Wc, D).astype(np.float32)
+    xy = np.stack(
+        [rng.rand(B, K) * (Wc * 8 - 1), rng.rand(B, K) * (Hc * 8 - 1)], -1
+    ).astype(np.float32)
+    d_new = np.asarray(sample_descriptors(jnp.asarray(dm), jnp.asarray(xy)))
+
+    for b in range(B):
+        for k in range(K):
+            gx, gy = xy[b, k, 0] / 8 - 0.5, xy[b, k, 1] / 8 - 0.5
+            x0 = int(np.clip(np.floor(gx), 0, Wc - 2))
+            y0 = int(np.clip(np.floor(gy), 0, Hc - 2))
+            fx = np.clip(gx - x0, 0, 1)
+            fy = np.clip(gy - y0, 0, 1)
+            d = (
+                dm[b, y0, x0] * (1 - fx) * (1 - fy)
+                + dm[b, y0, x0 + 1] * fx * (1 - fy)
+                + dm[b, y0 + 1, x0] * (1 - fx) * fy
+                + dm[b, y0 + 1, x0 + 1] * fx * fy
+            )
+            d = d / (np.linalg.norm(d) + 1e-10)
+            np.testing.assert_allclose(d_new[b, k], d, atol=1e-5)
+
+    # Gradients flow to both the dense map and the (subpixel) coords.
+    g_map, g_xy = jax.grad(
+        lambda m, x: jnp.sum(sample_descriptors(m, x) ** 2), argnums=(0, 1)
+    )(jnp.asarray(dm), jnp.asarray(xy))
+    assert np.any(np.asarray(g_map) != 0)
+    assert np.any(np.asarray(g_xy) != 0)
