@@ -99,9 +99,10 @@ def cmd_eval(args):
     if getattr(args, "refine_ba", False):
         from .eval.refine import refine_two_view_batch
 
+        min_m = int(getattr(args, "refine_min_matches", 200))
         refine_fn = jax.jit(
             lambda m, w, K, R, t: refine_two_view_batch(
-                m, w, K, R, t, iters=5
+                m, w, K, R, t, iters=5, min_matches=min_m
             )
         )
 
@@ -295,9 +296,10 @@ def cmd_eval_vo(args):
     if getattr(args, "refine_ba", False):
         from .eval.refine import refine_two_view_batch
 
+        min_m = int(getattr(args, "refine_min_matches", 200))
         refine_fn = jax.jit(
             lambda m, w, K, R, t: refine_two_view_batch(
-                m, w, K, R, t, iters=5
+                m, w, K, R, t, iters=5, min_matches=min_m
             )
         )
 
@@ -394,12 +396,8 @@ def cmd_eval_vo(args):
         # two-stage solve (rotation averaging, then frozen-R translation
         # refinement) averages down translation noise without bending
         # rotations. Monocular convention: per-edge gt translation scale.
-        if cfg.data.dataset != "synthetic":
-            raise SystemExit(
-                "--pose_graph needs delta-2 pairs; dump-backed datasets "
-                "expose them as a separate delta_ij dump tree — run "
-                "tools/vo_pose_graph.py against that dump instead"
-            )
+        import copy
+
         import jax.numpy as jnp
 
         from .ba.pose_graph import (
@@ -407,7 +405,37 @@ def cmd_eval_vo(args):
             optimize_pose_graph_two_stage,
         )
 
-        rels2, _, _, _, scales2 = run_pass(seq.pair_batches(bs, delta=2))
+        if cfg.data.dataset == "synthetic":
+            delta2_iter = seq.pair_batches(bs, delta=2)
+        else:
+            # Dump-backed: the reference's trees carry per-delta match
+            # files (ij_match_quality_{i}-{i+2}_* — dumps exist for
+            # delta 1/2/3/5/8/10, kitti_corr_baselineEval.yaml:7); a
+            # second loader over the SAME tree with delta_ij=2 provides
+            # the skip edges.
+            from .loader import data_loader
+
+            cfg2 = copy.deepcopy(cfg)
+            cfg2.data.delta_ij = 2
+            ds2 = data_loader(cfg2, "test")
+            if len(ds2) == 0:
+                raise SystemExit(
+                    "--pose_graph needs delta-2 pairs but the dump tree "
+                    f"{cfg.data.dump_root} has no "
+                    "ij_match_quality_{i}-{i+2}_* files; re-dump with "
+                    "delta_ijs=(1, 2) (data/dump_kitti.dump_sequence)"
+                )
+            delta2_iter = ds2.ordered_pair_batches(
+                bs, scene_name=args.scene or None
+            )
+
+        rels2, _, _, _, scales2 = run_pass(delta2_iter)
+        if len(rels2) != len(rels_est) - 1:
+            raise SystemExit(
+                f"pose graph needs a delta-2 edge per frame triple: got "
+                f"{len(rels2)} skip edges for {len(rels_est)} odometry "
+                "edges (incomplete delta-2 dump?)"
+            )
 
         def scaled(Ms, ss):
             out = []
@@ -744,7 +772,13 @@ def main(argv=None):
     sp.add_argument("--refine_ba", action="store_true",
                     help="two-view sqrt-BA polish of each pair's pose "
                          "(triangulate + damped GN, learned weights as "
-                         "robust residual weights)")
+                         "robust residual weights); per-pair acceptance "
+                         "keeps the solver pose where the polish does not "
+                         "reduce the robust cost")
+    sp.add_argument("--refine_min_matches", type=int, default=200,
+                    help="polish only pairs with >= this many effective "
+                         "matches (the measured sparse-SP regression "
+                         "domain sits at ~140)")
     sp.set_defaults(fn=cmd_eval_vo)
     for name, fn in (("train_good", cmd_train), ("eval_good", cmd_eval)):
         sp = sub.add_parser(name)
@@ -758,7 +792,11 @@ def main(argv=None):
                              "training iterations into this directory")
         sp.add_argument("--refine_ba", action="store_true",
                         help="(eval_good) two-view sqrt-BA polish of each "
-                             "pair's pose before the error stats")
+                             "pair's pose before the error stats (per-pair "
+                             "acceptance guard, see eval/refine.py)")
+        sp.add_argument("--refine_min_matches", type=int, default=200,
+                        help="polish only pairs with >= this many "
+                             "effective matches")
         sp.set_defaults(fn=fn)
     sp = sub.add_parser("tables", help="multi-experiment result tables")
     sp.add_argument("config", help="table config YAML (data.base_path + "

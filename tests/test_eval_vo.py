@@ -658,3 +658,97 @@ def test_cli_tables(tmp_path, rng):
     b_row = [l for l in md.split("\n") if l.startswith("| B ")][0]
     assert b_row.count("**") == 4
     assert (tmp_path / "f.png").stat().st_size > 1000
+
+
+@pytest.mark.slow
+def test_eval_vo_pose_graph_on_dump_tree(tmp_path, monkeypatch):
+    """`eval_vo --pose_graph` runs on a DUMP-BACKED dataset as one command
+    (VERDICT r2 next-step #5): the delta-2 skip edges come from a second
+    loader pass over the same tree's ij_match_quality_{i}-{i+2}_* files,
+    and the two-stage solve keeps rotations frozen (its rot drift equals
+    the chained sweep's)."""
+    import cv2  # noqa: F401
+    import yaml
+
+    from deepfepe_tpu.cli import main
+    from deepfepe_tpu.data import SyntheticPairs
+
+    H, W, f = 94, 310, 180.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], np.float32)
+    gen = SyntheticPairs(image_size=(H, W), good_num=300, noise_px=0.0,
+                         outlier_frac=0.0, seed=9)
+    scene = tmp_path / "00"
+    scene.mkdir()
+    np.save(scene / "cam.npy", K)
+    np.save(scene / "Rt_cam2_gt.npy", np.eye(4))
+    n_frames = 17
+    poses = [np.eye(4)]
+    for _ in range(n_frames - 1):
+        R, tv = gen._sample_pose()
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3] = R, tv
+        poses.append(poses[-1] @ np.linalg.inv(T))
+    poses34 = np.stack([p[:3] for p in poses]).astype(np.float32)
+    np.save(scene / "poses.npy", poses34)
+
+    def write_pair(i, j):
+        rel = np.linalg.inv(np.vstack([poses34[j], [0, 0, 0, 1]])) @ (
+            np.vstack([poses34[i], [0, 0, 0, 1]])
+        )
+        R, tv = rel[:3, :3], rel[:3, 3]
+        n = 200
+        X1 = np.stack([gen.rng.uniform(-15, 15, n),
+                       gen.rng.uniform(-4, 2, n),
+                       gen.rng.uniform(6, 50, n)], -1)
+        X2 = X1 @ R.T + tv
+        ok = (X1[:, 2] > 1) & (X2[:, 2] > 1)
+        x1 = (X1[ok] / X1[ok, 2:3]) @ K.T
+        x2 = (X2[ok] / X2[ok, 2:3]) @ K.T
+        m = np.concatenate(
+            [x1[:, :2], x2[:, :2], np.ones((ok.sum(), 1)) * 150.0], -1
+        ).astype(np.float32)
+        np.save(scene / f"ij_match_quality_{i}-{j}_all.npy", m)
+        np.save(scene / f"ij_match_quality_{i}-{j}_good.npy", m)
+
+    for i in range(n_frames - 1):
+        write_pair(i, i + 1)
+    for i in range(n_frames - 2):
+        write_pair(i, i + 2)
+
+    cfg = {
+        "data": {"dataset": "kitti_odo_corr", "dump_root": str(tmp_path),
+                 "good_num": 128, "batch_size": 8,
+                 "image": {"size": [H, W]},
+                 "preprocessing": {"resize": [H, W]},
+                 "train_scenes": ["00"], "val_scenes": ["00"],
+                 "test_scenes": ["00"]},
+        "model": {"depth": 2},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    monkeypatch.chdir(tmp_path)
+    report = main(["eval_vo", str(cfg_path), "pgdump", "--pose_graph",
+                   "--lengths", "0.3,0.6,1.0"])
+
+    out = tmp_path / "logs" / "pgdump"
+    assert (out / "trajectory_pose_graph.txt").is_file()
+    assert (out / "result.txt").is_file()
+    assert "pose_graph" in report
+    # Two-stage solve freezes rotations: the fused trajectory's per-frame
+    # rotation blocks equal the chained sweep's (the segment-based
+    # rot/100m SCALAR can still shift because the improved translations
+    # change the segment boundaries it averages over).
+    def rot_blocks(path):
+        rows = np.loadtxt(path).reshape(-1, 3, 4)
+        return rows[:, :, :3]
+
+    Rc = rot_blocks(out / "trajectory_est.txt")
+    Rf = rot_blocks(out / "trajectory_pose_graph.txt")
+    np.testing.assert_allclose(Rf, Rc, atol=5e-4)
+    # Skip edges average down translation noise: fused trans error is
+    # far below chained (measured here: 41.7% -> ~0.01%).
+    assert (
+        report["pose_graph"]["trans_err_pct"]
+        < 0.2 * report["trans_err_pct"]
+    )
+    assert np.isfinite(report["pose_graph"]["trans_err_pct"])
