@@ -55,6 +55,61 @@ JOINT_BATCH = 8
 JOINT_HW = (240, 320)
 JOINT_N = 300
 
+# Reference production operating point (kitti_corr_baselineEval.yaml:7,24:
+# image 376x1241 resized to 376x1240, good_num=1000, SuperPointNet_gauss2,
+# SP batch 4).
+FULLRES_BATCH = 4
+FULLRES_HW = (376, 1240)
+FULLRES_N = 1000
+
+# One v5e chip, dense bf16 peak (for the MFU denominator).
+PEAK_BF16_TFLOPS = 197.0
+
+
+def measure_roofline():
+    """Fixed bf16 matmul fingerprint: achieved TFLOP/s on a 4096^3 chain.
+
+    Normalizes chip-day variance out of round-over-round comparisons
+    (3,046-5,089 pairs/s measured on identical code across days): report
+    throughput alongside the same-day roofline.
+    """
+    n, chain = 4096, 32
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16) / n
+
+    @jax.jit
+    def run(a, b):
+        def body(_, x):
+            return (x @ b).astype(jnp.bfloat16)
+
+        return jax.lax.fori_loop(0, chain, body, a)
+
+    x = run(a, b)
+    float(np.asarray(x[0, 0]))  # compile + sync
+    t0 = time.perf_counter()
+    x = run(a, b)
+    float(np.asarray(x[0, 0]))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    x = run(run(a, b), b)
+    float(np.asarray(x[0, 0]))
+    t2 = time.perf_counter() - t0
+    dt = max(t2 - t1, 1e-9)  # marginal cost of one extra chain
+    return 2.0 * n**3 * chain / dt / 1e12
+
+
+def _cost_analysis_flops(lowered_compiled):
+    """Best-effort FLOP count from XLA cost analysis (None if unsupported
+    on this backend)."""
+    try:
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:  # noqa: BLE001
+        return None
+
 
 def measure_reference_baseline():
     """Time the live torch reference train step (CPU, if_cpu_svd) in-env.
@@ -149,6 +204,17 @@ def bench_solver_step():
     trainer.init_state(batch)
     sharded = shard_batch(mesh, batch)
 
+    # FLOPs of one step from XLA's own cost model (for the MFU line).
+    step_flops = None
+    try:
+        step_flops = _cost_analysis_flops(
+            trainer.train_step.lower(
+                trainer.state, sharded, 0.1, 0.5
+            ).compile()
+        )
+    except Exception:  # noqa: BLE001
+        pass
+
     # Warm up (compile) and force real execution with a host transfer —
     # block_until_ready alone does not synchronize on tunneled platforms.
     for _ in range(WARMUP):
@@ -199,7 +265,12 @@ def bench_solver_step():
         t_long = run(2 * iters)
         dts.append(max(t_long - t_short, 1e-9) / iters)
     dt = min(dts)
-    return BATCH / dt
+    mfu = (
+        step_flops / dt / (PEAK_BF16_TFLOPS * 1e12)
+        if step_flops
+        else None
+    )
+    return BATCH / dt, mfu, step_flops
 
 
 def bench_joint_step():
@@ -271,6 +342,90 @@ def bench_joint_step():
     return JOINT_BATCH / dt
 
 
+def bench_joint_fullres():
+    """Joint train step at the REFERENCE production operating point:
+    SuperPointNet_gauss2 frontend, 376x1240 frames, N=1000 matches,
+    SP batch 4 (kitti_corr_baselineEval.yaml:7,24 + SP_params) — the
+    frames/s-for-the-full-pipeline number BASELINE.md asks for.
+
+    Returns (pairs_per_s, mfu_or_None, flops_or_None)."""
+    import optax
+
+    from deepfepe_tpu.data.synthetic_images import SyntheticImagePairs
+    from deepfepe_tpu.frontend import (
+        FrontendParams,
+        SuperPointNetGauss2,
+        get_matches_from_sp,
+    )
+    from deepfepe_tpu.models import DeepFNet
+    from deepfepe_tpu.train import Config
+    from deepfepe_tpu.train.joint import (
+        JointTrainState,
+        make_joint_train_step,
+    )
+
+    cfg = Config()
+    cfg.model.depth = DEPTH
+    cfg.model.if_quality = True
+    cfg.data.good_num = FULLRES_N
+
+    ds = SyntheticImagePairs(image_size=FULLRES_HW, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(FULLRES_BATCH).items()}
+
+    sp_net = SuperPointNetGauss2()
+    deepf_net = DeepFNet(
+        depth=DEPTH, image_size=FULLRES_HW, if_quality=True,
+        mlp_dtype=jnp.bfloat16,
+    )
+    fp = FrontendParams(out_num_points=FULLRES_N, conf_thresh=1e-4,
+                        nn_thresh=1.0)
+    sp_vars = sp_net.init(
+        jax.random.PRNGKey(0), batch["imgs_grey"][:, 0][..., None]
+    )
+    sp_out = get_matches_from_sp(
+        sp_net, sp_vars,
+        (batch["imgs_grey"][:, 0], batch["imgs_grey"][:, 1]), fp,
+    )
+    db = dict(batch)
+    db["matches_xy_ori"] = sp_out["matches_xy_ori"]
+    db["quality"] = sp_out["quality"]
+    db["matches_good_unique_nums"] = jnp.sum(sp_out["valid"], axis=-1)
+    deepf_params = deepf_net.init(jax.random.PRNGKey(1), db)
+
+    tx1, tx2 = optax.adam(1e-4), optax.adam(1e-5)
+    state = JointTrainState.create(deepf_params, sp_vars, tx1, tx2)
+    step = make_joint_train_step(
+        deepf_net, sp_net, fp, tx1, tx2, cfg,
+        train_deepf=True, train_sp=True,
+    )
+    flops = None
+    try:
+        flops = _cost_analysis_flops(
+            step.lower(state, batch, 0.1, 0.5).compile()
+        )
+    except Exception:  # noqa: BLE001
+        pass
+
+    for _ in range(2):
+        state, m = step(state, batch, 0.1, 0.5)
+    float(np.asarray(m["loss"]))
+
+    def run(iters):
+        nonlocal state
+        t0 = time.perf_counter()
+        m_l = None
+        for _ in range(iters):
+            state, m_l = step(state, batch, 0.1, 0.5)
+        float(np.asarray(m_l["loss"]))
+        return time.perf_counter() - t0
+
+    k = 8
+    t1, t2 = run(k), run(2 * k)
+    dt = max(t2 - t1, 1e-9) / k
+    mfu = flops / dt / (PEAK_BF16_TFLOPS * 1e12) if flops else None
+    return FULLRES_BATCH / dt, mfu, flops
+
+
 def bench_ransac():
     """Vmapped fixed-budget 8-point RANSAC eval throughput."""
     from deepfepe_tpu.data import SyntheticPairs
@@ -308,15 +463,28 @@ def main():
     def note(msg):
         print(f"# {msg}", file=sys.stderr, flush=True)
 
-    note("bench: solver step...")
-    pairs_per_s = bench_solver_step()
+    note("bench: roofline fingerprint...")
+    try:
+        roofline = measure_roofline()
+    except Exception as e:  # noqa: BLE001
+        note(f"roofline unavailable: {e!r}")
+        roofline = None
+    note(f"bench: roofline {roofline}; solver step...")
+    pairs_per_s, solver_mfu, solver_flops = bench_solver_step()
     note(f"bench: solver {pairs_per_s:.1f} pairs/s; reference baseline...")
     ref_pairs_per_s, ref_kind = measure_reference_baseline()
     note(f"bench: reference {ref_pairs_per_s:.2f} ({ref_kind}); joint step...")
     joint = bench_joint_step()
-    note(f"bench: joint {joint:.2f} pairs/s; ransac...")
+    note(f"bench: joint {joint:.2f} pairs/s; full-res joint...")
+    try:
+        joint_fullres, joint_fullres_mfu, _ = bench_joint_fullres()
+    except Exception as e:  # noqa: BLE001
+        note(f"full-res joint unavailable: {e!r}")
+        joint_fullres, joint_fullres_mfu = None, None
+    note(f"bench: full-res joint {joint_fullres}; ransac...")
     ransac = bench_ransac()
 
+    rnd = lambda v, k=2: None if v is None else round(v, k)
     print(
         json.dumps(
             {
@@ -328,7 +496,15 @@ def main():
                     "reference_pairs_per_s": round(ref_pairs_per_s, 2),
                     "reference_baseline_kind": ref_kind,
                     "joint_pairs_per_s": round(joint, 2),
+                    "joint_fullres_pairs_per_s": rnd(joint_fullres),
                     "ransac_pairs_per_s": round(ransac, 2),
+                    "roofline_tflops": rnd(roofline, 1),
+                    "mfu": rnd(solver_mfu, 4),
+                    "joint_fullres_mfu": rnd(joint_fullres_mfu, 4),
+                    "solver_step_gflops": rnd(
+                        None if solver_flops is None else solver_flops / 1e9,
+                        1,
+                    ),
                 },
             }
         )
