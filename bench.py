@@ -372,7 +372,7 @@ def bench_joint_fullres():
     ds = SyntheticImagePairs(image_size=FULLRES_HW, seed=0)
     batch = {k: jnp.asarray(v) for k, v in ds.batch(FULLRES_BATCH).items()}
 
-    sp_net = SuperPointNetGauss2()
+    sp_net = SuperPointNetGauss2(dtype=jnp.bfloat16)
     deepf_net = DeepFNet(
         depth=DEPTH, image_size=FULLRES_HW, if_quality=True,
         mlp_dtype=jnp.bfloat16,

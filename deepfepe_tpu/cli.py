@@ -562,6 +562,38 @@ def cmd_val_feature(args):
         i += 1
         batch = next(stream, None)
     summary = {k: float(np.mean(v)) for k, v in accum.items()}
+
+    if getattr(args, "homography", 0):
+        # The reference's evaluate_frontend metric surface (repeatability,
+        # localization error, H-correctness, matching score, detection
+        # mAP — evaluate_frontend.py:26-276) over synthetic
+        # homography-warped pairs.
+        from .eval.frontend_eval import evaluate_homography_pair
+
+        rng = np.random.RandomState(7)
+        hp = {}
+        for j in range(args.homography):
+            img = np.asarray(
+                SyntheticImagePairs(seed=100 + j)
+                .batch(1)["imgs_grey"][0, 0]
+            )
+            Hh, Ww = img.shape
+            # Mild random perspective warp around the image center.
+            pert = rng.uniform(-0.08, 0.08, (4, 2)) * [Ww, Hh]
+            src = np.array(
+                [[0, 0], [Ww, 0], [0, Hh], [Ww, Hh]], np.float32
+            )
+            import cv2
+
+            H_gt = cv2.getPerspectiveTransform(
+                src, (src + pert).astype(np.float32)
+            )
+            res = evaluate_homography_pair(sp_net, params, img, H_gt, fp)
+            for k, v in res.items():
+                hp.setdefault(k, []).append(float(v))
+        summary.update(
+            {f"h_{k}": float(np.mean(v)) for k, v in hp.items()}
+        )
     np.savez(Path(save_dir) / "result_dict_all.npz", **summary)
     print(json.dumps(summary))
     return summary
@@ -754,6 +786,11 @@ def main(argv=None):
     sp.add_argument("--pretrained", default="")
     sp.add_argument("--max_batches", type=int, default=0)
     sp.add_argument("--rand_noise", type=float, default=0.0)
+    sp.add_argument("--homography", type=int, default=0,
+                    help="also evaluate N synthetic homography-warped "
+                         "pairs: repeatability, localization, "
+                         "H-correctness, matching score, detection mAP "
+                         "(the reference's evaluate_frontend surface)")
     sp.set_defaults(fn=cmd_val_feature)
     sp = sub.add_parser("eval_vo")
     sp.add_argument("config")

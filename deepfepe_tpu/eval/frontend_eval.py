@@ -139,3 +139,142 @@ def homography_correctness(
     out = {f"correct@{t}": float(err <= t) for t in thresholds}
     out["corner_error"] = err
     return out
+
+
+def average_precision(labels: np.ndarray, scores: np.ndarray) -> float:
+    """AP = Σ_n (R_n - R_{n-1}) P_n over the score-ranked matches —
+    first-party equivalent of sklearn.average_precision_score as used by
+    the reference's computeAP (evaluate_frontend.py:225-232)."""
+    labels = np.asarray(labels, np.float64)
+    scores = np.asarray(scores, np.float64)
+    if labels.size == 0 or labels.sum() == 0:
+        return 0.0
+    order = np.argsort(-scores, kind="stable")
+    l_sorted = labels[order]
+    tp = np.cumsum(l_sorted)
+    precision = tp / (np.arange(len(l_sorted)) + 1.0)
+    recall = tp / l_sorted.sum()
+    prev = np.concatenate([[0.0], recall[:-1]])
+    return float(np.sum((recall - prev) * precision))
+
+
+def matching_score_and_map(
+    kpts1: np.ndarray,     # [K, 2] (x, y) image-1 keypoints
+    desc1: np.ndarray,     # [K, D]
+    valid1: np.ndarray,    # [K] bool
+    kpts2: np.ndarray,
+    desc2: np.ndarray,
+    valid2: np.ndarray,
+    H_gt: np.ndarray,      # [3, 3] homography img1 -> img2
+    image_shape: Tuple[int, int],
+    nn_thresh: float = 1.2,
+    inlier_px: float = 3.0,
+) -> Dict[str, float]:
+    """Descriptor matching score + detection mAP under a gt homography
+    (ref: evaluate_frontend.eva_mscore :178-276 — the working subset of
+    the reference's notebook-extracted file, with inliers_method='gt':
+    a match is an inlier iff |H·x1 - x2| < inlier_px).
+
+    - mscore = 2·inliers / (n_kpts1 + n_kpts2_unwarped_in_bounds)
+      (the reference's warpLabels-filtered denominator).
+    - mAP = AP of inlier labels ranked by flipped match distance
+      (flipArr: max(dist) - dist, evaluate_frontend.py:236-267).
+    """
+    import jax.numpy as jnp
+
+    from ..frontend.matching import mutual_nn_match
+
+    m = mutual_nn_match(
+        jnp.asarray(desc1)[None], jnp.asarray(desc2)[None],
+        jnp.asarray(valid1)[None], jnp.asarray(valid2)[None],
+        nn_thresh=nn_thresh,
+    )
+    keep = np.asarray(m.valid[0])
+    i1 = np.asarray(m.idx1[0])[keep]
+    i2 = np.asarray(m.idx2[0])[keep]
+    dists = np.asarray(m.scores[0])[keep]
+    x1 = np.asarray(kpts1)[i1]
+    x2 = np.asarray(kpts2)[i2]
+    if len(x1):
+        warped = warp_keypoints(x1, np.asarray(H_gt))
+        inl = np.linalg.norm(warped - x2, axis=1) < inlier_px
+        m_flip = (dists.max() - dists) if len(dists) else dists
+        ap = average_precision(inl, m_flip)
+        n_inl = int(inl.sum())
+    else:
+        ap, n_inl = 0.0, 0
+
+    Hh, Ww = image_shape
+    k1 = np.asarray(kpts1)[np.asarray(valid1)]
+    k2 = np.asarray(kpts2)[np.asarray(valid2)]
+    back2 = (
+        warp_keypoints(k2, np.linalg.inv(np.asarray(H_gt)))
+        if len(k2) else np.zeros((0, 2))
+    )
+    inb = (
+        (back2[:, 0] >= 0) & (back2[:, 0] < Ww)
+        & (back2[:, 1] >= 0) & (back2[:, 1] < Hh)
+    )
+    denom = len(k1) + int(inb.sum())
+    return {
+        "mscore": float(2.0 * n_inl / denom) if denom else 0.0,
+        "mAP": ap,
+        "num_matches": int(len(x1)),
+        "match_inlier_ratio": float(n_inl / len(x1)) if len(x1) else 0.0,
+    }
+
+
+def evaluate_homography_pair(
+    net, params, image: np.ndarray, H_gt: np.ndarray, fp,
+    rep_thresh: float = 3.0,
+) -> Dict[str, float]:
+    """The reference's full evaluate_frontend metric surface for ONE
+    (image, warped image) pair: repeatability + localization error +
+    homography correctness + matching score + mAP
+    (evaluate_frontend.py:26-276).
+
+    The warped view is rendered with the gt homography (cv2 host warp —
+    eval path only, matching the reference's HPatches-style inputs).
+    """
+    import cv2
+    import jax.numpy as jnp
+
+    from ..frontend.pipeline import run_superpoint
+
+    Hh, Ww = image.shape[:2]
+    warped = cv2.warpPerspective(
+        np.asarray(image, np.float32), np.asarray(H_gt, np.float64),
+        (Ww, Hh),
+    )
+    imgs = jnp.asarray(np.stack([image, warped]), jnp.float32)
+    k = run_superpoint(net, params, imgs, fp)
+    xy = np.asarray(k.xy + k.offsets)
+    valid = np.asarray(k.valid)
+    desc = np.asarray(k.desc)
+
+    out: Dict[str, float] = {}
+    out.update(
+        compute_repeatability(
+            xy[0][valid[0]], xy[1][valid[1]], np.asarray(H_gt), (Hh, Ww),
+            distance_thresh=rep_thresh,
+        )
+    )
+    out.update(
+        matching_score_and_map(
+            xy[0], desc[0], valid[0], xy[1], desc[1], valid[1],
+            H_gt, (Hh, Ww),
+        )
+    )
+    # Correctness needs the matched pairs in [N, 4] form.
+    from ..frontend.matching import gather_matches, mutual_nn_match
+
+    m = mutual_nn_match(
+        jnp.asarray(desc[:1]), jnp.asarray(desc[1:]),
+        jnp.asarray(valid[:1]), jnp.asarray(valid[1:]),
+        nn_thresh=1.2,
+    )
+    matches = np.asarray(
+        gather_matches(jnp.asarray(xy[:1]), jnp.asarray(xy[1:]), m)
+    )[0][np.asarray(m.valid[0])]
+    out.update(homography_correctness(matches, np.asarray(H_gt), (Hh, Ww)))
+    return out

@@ -69,18 +69,24 @@ class SuperPointNet(nn.Module):
 
 class _DoubleConv(nn.Module):
     """(Conv3x3 -> BN -> ReLU) x2 — pytorch-superpoint unet_parts
-    double_conv, the gauss2 backbone block."""
+    double_conv, the gauss2 backbone block.
+
+    `dtype` sets the conv+BN compute precision (bf16 = MXU full rate,
+    half the HBM traffic); params and running stats stay float32."""
 
     out_ch: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn0")(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
-        x = nn.relu(x)
+        conv = lambda name: nn.Conv(
+            self.out_ch, (3, 3), padding="SAME", name=name, dtype=self.dtype
+        )
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, name=name, dtype=self.dtype
+        )
+        x = nn.relu(bn("bn0")(conv("conv0")(x)))
+        x = nn.relu(bn("bn1")(conv("conv1")(x)))
         return x
 
 
@@ -95,31 +101,38 @@ class SuperPointNetGauss2(nn.Module):
 
     Inference uses the checkpoint's running BN statistics
     (train=False); pass train=True + mutable=['batch_stats'] to train.
+    `dtype=bfloat16` runs conv/BN compute at MXU full rate (params and
+    running stats stay float32; heads return float32).
     """
 
     det_h: int = 65
     desc_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> dict:
         pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, name=name
+            use_running_average=not train, name=name, dtype=self.dtype
         )
-        y = _DoubleConv(64, name="inc")(x, train)
-        y = _DoubleConv(64, name="down1")(pool(y), train)
-        y = _DoubleConv(128, name="down2")(pool(y), train)
-        y = _DoubleConv(128, name="down3")(pool(y), train)
+        conv = lambda ch, k, name: nn.Conv(
+            ch, k, padding="SAME", name=name, dtype=self.dtype
+        )
+        x = x.astype(self.dtype)
+        y = _DoubleConv(64, name="inc", dtype=self.dtype)(x, train)
+        y = _DoubleConv(64, name="down1", dtype=self.dtype)(pool(y), train)
+        y = _DoubleConv(128, name="down2", dtype=self.dtype)(pool(y), train)
+        y = _DoubleConv(128, name="down3", dtype=self.dtype)(pool(y), train)
 
-        d = nn.relu(
-            bn("bnPa")(nn.Conv(256, (3, 3), padding="SAME", name="convPa")(y))
+        d = nn.relu(bn("bnPa")(conv(256, (3, 3), "convPa")(y)))
+        semi = bn("bnPb")(conv(self.det_h, (1, 1), "convPb")(d)).astype(
+            jnp.float32
         )
-        semi = bn("bnPb")(nn.Conv(self.det_h, (1, 1), name="convPb")(d))
 
-        e = nn.relu(
-            bn("bnDa")(nn.Conv(256, (3, 3), padding="SAME", name="convDa")(y))
+        e = nn.relu(bn("bnDa")(conv(256, (3, 3), "convDa")(y)))
+        desc = bn("bnDb")(conv(self.desc_dim, (1, 1), "convDb")(e)).astype(
+            jnp.float32
         )
-        desc = bn("bnDb")(nn.Conv(self.desc_dim, (1, 1), name="convDb")(e))
         desc = desc / (safe_norm(desc, axis=-1, keepdims=True) + 1e-10)
 
         return {"semi": semi, "desc": desc}

@@ -752,3 +752,86 @@ def test_eval_vo_pose_graph_on_dump_tree(tmp_path, monkeypatch):
         < 0.2 * report["trans_err_pct"]
     )
     assert np.isfinite(report["pose_graph"]["trans_err_pct"])
+
+
+def test_average_precision_oracle():
+    """First-party AP equals hand-computed values (the reference uses
+    sklearn.average_precision_score, evaluate_frontend.py:225-232)."""
+    from deepfepe_tpu.eval.frontend_eval import average_precision
+
+    # Perfect ranking: all positives first -> AP = 1.
+    assert average_precision(np.array([1, 1, 0, 0]),
+                             np.array([4.0, 3.0, 2.0, 1.0])) == 1.0
+    # Worst ranking: positives last. AP = mean of precision at each
+    # positive = (1/3 + 2/4)/2.
+    ap = average_precision(np.array([0, 0, 1, 1]),
+                           np.array([4.0, 3.0, 2.0, 1.0]))
+    np.testing.assert_allclose(ap, (1 / 3 + 2 / 4) / 2, atol=1e-12)
+    # Interleaved: P@1=1, P@3=2/3 -> AP = (1 + 2/3)/2.
+    ap = average_precision(np.array([1, 0, 1, 0]),
+                           np.array([4.0, 3.0, 2.0, 1.0]))
+    np.testing.assert_allclose(ap, (1 + 2 / 3) / 2, atol=1e-12)
+    # No positives -> 0.
+    assert average_precision(np.zeros(3), np.arange(3.0)) == 0.0
+
+
+def test_matching_score_and_map_oracle(rng):
+    """mscore + mAP under a known homography with planted descriptors
+    (ref semantics: evaluate_frontend.eva_mscore :178-276)."""
+    from deepfepe_tpu.eval.frontend_eval import (
+        matching_score_and_map,
+        warp_keypoints,
+    )
+
+    K, D = 32, 16
+    Hh, Ww = 120, 160
+    H_gt = np.array([[1.0, 0.02, 3.0], [-0.01, 1.0, -2.0], [0, 0, 1.0]])
+    k1 = np.stack(
+        [rng.uniform(10, Ww - 10, K), rng.uniform(10, Hh - 10, K)], -1
+    ).astype(np.float32)
+    k2 = warp_keypoints(k1, H_gt).astype(np.float32)
+    # Distinct unit descriptors; copy to image 2 so every pair matches.
+    d1 = rng.randn(K, D).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = d1.copy()
+    # Break half the matches geometrically: displace those keypoints far.
+    k2[: K // 2] += 50.0
+    valid = np.ones(K, bool)
+
+    out = matching_score_and_map(k1, d1, valid, k2, d2, valid, H_gt,
+                                 (Hh, Ww))
+    # All K descriptor matches form; half are geometric inliers.
+    assert out["num_matches"] == K
+    np.testing.assert_allclose(out["match_inlier_ratio"], 0.5, atol=1e-6)
+    # Denominator = K + (in-bounds unwarped k2). mscore = 2*inl/denom.
+    back = warp_keypoints(k2, np.linalg.inv(H_gt))
+    inb = ((back[:, 0] >= 0) & (back[:, 0] < Ww)
+           & (back[:, 1] >= 0) & (back[:, 1] < Hh)).sum()
+    np.testing.assert_allclose(
+        out["mscore"], 2 * (K // 2) / (K + inb), atol=1e-6
+    )
+    # Identical descriptor distances (all ~0) give no ranking signal;
+    # mAP is the precision of a random-order ranking ~ inlier fraction.
+    assert 0.0 <= out["mAP"] <= 1.0
+
+    # Now plant a ranking: inlier matches get closer descriptors.
+    d2_noisy = d1 + 0.3 * rng.randn(K, D).astype(np.float32)
+    d2_noisy[K // 2:] = d1[K // 2:]  # inliers: exact copies (dist 0)
+    d2_noisy /= np.linalg.norm(d2_noisy, axis=-1, keepdims=True)
+    out2 = matching_score_and_map(k1, d1, valid, k2, d2_noisy, valid,
+                                  H_gt, (Hh, Ww))
+    # Perfect ranking (all inliers first) -> mAP = 1.
+    assert out2["mAP"] > 0.99, out2
+
+
+def test_val_feature_homography_surface(monkeypatch, tmp_path):
+    """val_feature --homography emits the full evaluate_frontend metric
+    set (repeatability/localization/correctness/mscore/mAP)."""
+    from deepfepe_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    summary = main(["val_feature", "vfh", "--max_batches", "1",
+                    "--homography", "1"])
+    for key in ("h_repeatability", "h_localization_error", "h_mscore",
+                "h_mAP", "h_corner_error", "h_correct@3.0"):
+        assert key in summary, key
