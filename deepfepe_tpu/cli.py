@@ -749,6 +749,80 @@ def cmd_infer(args):
     return out
 
 
+def cmd_verify_dump(args):
+    """Dump-tree integrity check — step 0 of the real-data playbook
+    (README §readiness): per scene, validate cam/poses/Rt_cam2_gt shapes,
+    count per-delta match files, report match-count statistics and any
+    frame gaps. Exits non-zero on a malformed tree."""
+    from pathlib import Path as _P
+
+    root = _P(args.dump_root)
+    scenes = sorted(d for d in root.iterdir() if d.is_dir())
+    if not scenes:
+        raise SystemExit(f"no scene directories under {root}")
+    report = {"root": str(root), "scenes": {}}
+    ok = True
+    for scene in scenes:
+        s = {"errors": []}
+        try:
+            K = np.load(scene / "cam.npy")
+            s["K_shape"] = list(K.shape)
+            if K.reshape(-1).shape[0] != 9:
+                s["errors"].append("cam.npy is not 3x3")
+            poses = np.load(scene / "poses.npy")
+            poses = poses.reshape(-1, 3, 4)
+            s["n_frames"] = int(len(poses))
+            if not np.all(np.isfinite(poses)):
+                s["errors"].append("poses.npy has non-finite entries")
+            Rt2 = np.load(scene / "Rt_cam2_gt.npy")
+            if Rt2.shape != (4, 4):
+                s["errors"].append(f"Rt_cam2_gt shape {Rt2.shape}")
+        except FileNotFoundError as e:
+            s["errors"].append(f"missing: {e.filename}")
+            report["scenes"][scene.name] = s
+            ok = False
+            continue
+        for delta in (int(d) for d in args.deltas.split(",")):
+            counts = []
+            missing = []
+            for i in range(len(poses) - delta):
+                j = i + delta
+                f_npy = scene / f"ij_match_quality_{i}-{j}_good.npy"
+                f_h5 = scene / f"ij_match_quality_{i}-{j}_good.h5"
+                if f_npy.is_file():
+                    counts.append(int(len(np.load(f_npy))))
+                elif f_h5.is_file():
+                    counts.append(-1)  # present, not parsed here
+                else:
+                    missing.append(i)
+            key = f"delta_{delta}"
+            s[key] = {
+                "pairs": len(counts),
+                "missing": missing[:10],
+                "n_missing": len(missing),
+            }
+            if counts and min(counts) >= 0:
+                s[key]["matches_min"] = int(np.min(counts))
+                s[key]["matches_median"] = float(np.median(counts))
+                if np.min(counts) < args.min_matches:
+                    s["errors"].append(
+                        f"delta {delta}: a pair has only "
+                        f"{np.min(counts)} matches (< {args.min_matches})"
+                    )
+            if delta == 1 and len(missing) > 0:
+                s["errors"].append(
+                    f"delta 1: {len(missing)} missing pair files"
+                )
+        if s["errors"]:
+            ok = False
+        report["scenes"][scene.name] = s
+    report["ok"] = ok
+    print(json.dumps(report))
+    if not ok:
+        raise SystemExit(1)
+    return report
+
+
 def cmd_tables(args):
     """Multi-experiment comparison tables from eval npz dumps
     (ref: the table notebooks over Exp_table_processor,
@@ -835,6 +909,13 @@ def main(argv=None):
                         help="polish only pairs with >= this many "
                              "effective matches")
         sp.set_defaults(fn=fn)
+    sp = sub.add_parser("verify_dump",
+                        help="dump-tree integrity check (playbook step 0)")
+    sp.add_argument("dump_root")
+    sp.add_argument("--deltas", default="1",
+                    help="comma list of delta_ij gaps to check (e.g. 1,2)")
+    sp.add_argument("--min_matches", type=int, default=8)
+    sp.set_defaults(fn=cmd_verify_dump)
     sp = sub.add_parser("tables", help="multi-experiment result tables")
     sp.add_argument("config", help="table config YAML (data.base_path + "
                                    "data.seq_dict, reference schema)")

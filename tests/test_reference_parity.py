@@ -814,3 +814,164 @@ def test_sample_loss_fit_parity(ref):
     np.testing.assert_allclose(
         np.asarray(sf["sample_scores"]), score_ref, atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_co_training_parity_long(ref):
+    """300-step co-training (VERDICT r2 next-step #6): same init, same
+    rotating batches, same Adam, f64 both sides. Ten steps bound almost
+    nothing about accumulation; here we track (a) the loss trajectories
+    and (b) the pose-error trajectories of the two TRAINED MODELS on a
+    held-out batch (scored by one shared metric implementation), and
+    assert bounded divergence across the full horizon. Measured drift
+    recorded in PARITY.md §co-training.
+    """
+    import optax
+
+    from deepfepe_tpu.geometry.decompose import recover_pose
+    from deepfepe_tpu.geometry.epipolar import F_to_E
+    from deepfepe_tpu.geometry.rotations import (
+        rotation_angle_error,
+        vector_angle,
+    )
+
+    depth = 2
+    n_steps = 300
+    batches = [_make_batch(40 + i, B=4, N=128) for i in range(4)]
+    held = _make_batch(99, B=8, N=128)
+
+    net_t = _ref_deepf(ref, depth)
+    model, variables = _ours_from_ref(net_t, depth)
+    params = variables["params"]
+
+    loss_params = {
+        "depth": depth, "clamp_at": 0.02,
+        "if_tri_depth": False, "if_sample_loss": False,
+    }
+    lr = 1e-4
+    opt_t = torch.optim.Adam(net_t.parameters(), lr=lr, eps=1e-8)
+    tx = optax.adam(lr, eps=1e-8)
+    opt_state = tx.init(params)
+    tt = torch.tensor
+
+    jb = [_jax_batch(b) for b in batches]
+    tb = [_torch_batch(b) for b in batches]
+
+    def loss_fn(params, b_idx):
+        b = batches[b_idx]
+        preds = model.apply({"params": params}, jb[b_idx])
+        ld = f_loss(
+            preds, jnp.asarray(b["virt1"]), jnp.asarray(b["virt2"]),
+            jnp.asarray(b["Ks"]), clamp_at=0.02,
+        )
+        return ld["loss_F"]
+
+    grad_fns = [
+        jax.jit(jax.value_and_grad(lambda p, i=i: loss_fn(p, i)))
+        for i in range(len(batches))
+    ]
+
+    def eval_errs_torch():
+        with torch.no_grad():
+            preds = net_t(_torch_batch(held))
+        T1, T2, F = preds["T1"], preds["T2"], preds["F_est"]
+        F_pix = T2.transpose(1, 2) @ F @ T1
+        return np.asarray(F_pix)
+
+    def eval_errs_jax(params):
+        preds = model.apply({"params": params}, _jax_batch(held))
+        F_pix = (
+            jnp.swapaxes(preds["T2"], -1, -2) @ preds["F_est"] @ preds["T1"]
+        )
+        return np.asarray(F_pix)
+
+    def pose_errors(F_pix):
+        """Shared metric: decompose with OUR machinery for both models."""
+        K = jnp.asarray(held["Ks"])
+        E = F_to_E(jnp.asarray(F_pix), K)
+        m = held["matches"]
+        K_inv = np.linalg.inv(held["Ks"])
+        homo = lambda x: np.concatenate(
+            [x, np.ones(x.shape[:-1] + (1,))], -1
+        )
+        x1n = homo(m[..., :2]) @ np.swapaxes(K_inv, -1, -2)
+        x2n = homo(m[..., 2:4]) @ np.swapaxes(K_inv, -1, -2)
+        rec = recover_pose(E, jnp.asarray(x1n), jnp.asarray(x2n))
+        gt = np.linalg.inv(held["delta_Rtijs"])
+        # est i->j pose, inverted (cam convention), vs inverse gt.
+        Rt = np.concatenate(
+            [np.asarray(rec.R), np.asarray(rec.t)[..., None]], -1
+        )
+        R_cam = np.swapaxes(Rt[..., :3, :3], -1, -2)
+        t_cam = -np.einsum("bij,bj->bi", R_cam, Rt[..., :3, 3])
+        eq = np.asarray(
+            rotation_angle_error(jnp.asarray(R_cam),
+                                 jnp.asarray(gt[:, :3, :3]))
+        )
+        et = np.asarray(
+            vector_angle(jnp.asarray(t_cam), jnp.asarray(gt[:, :3, 3]))
+        )
+        et = np.minimum(et, 180.0 - et)
+        return np.median(eq), np.median(et)
+
+    loss_t, loss_j, err_drift = [], [], []
+    for it in range(n_steps):
+        bi = it % len(batches)
+        b = batches[bi]
+        opt_t.zero_grad()
+        preds_t = net_t(tb[bi])
+        outs_t = dict(preds_t)
+        outs_t["weights"] = preds_t["weights_layers"][-1]
+        lt = ref.tgu.get_all_loss_DeepF(
+            outs_t, tt(b["virt1"]), tt(b["virt2"]), tt(b["Ks"]),
+            loss_params, get_residual_summaries=False,
+        )[0]["loss_F"]
+        lt.backward()
+        opt_t.step()
+        loss_t.append(float(lt))
+
+        lj, g = grad_fns[bi](params)
+        upd, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        loss_j.append(float(lj))
+
+        if (it + 1) % 50 == 0:
+            eq_t, et_t = pose_errors(eval_errs_torch())
+            eq_j, et_j = pose_errors(eval_errs_jax(params))
+            err_drift.append(
+                (it + 1, eq_t, eq_j, et_t, et_j)
+            )
+
+    loss_t = np.array(loss_t)
+    loss_j = np.array(loss_j)
+    rel = np.abs(loss_t - loss_j) / np.maximum(np.abs(loss_t), 1e-12)
+    print("\nloss drift: it50 %.2e  it150 %.2e  it300 %.2e  max %.2e"
+          % (rel[49], rel[149], rel[299], rel.max()))
+    for it, eq_t, eq_j, et_t, et_j in err_drift:
+        print(f"it {it}: err_q ref {eq_t:.3f} ours {eq_j:.3f} | "
+              f"err_t ref {et_t:.3f} ours {et_j:.3f}")
+
+    # Training moved both.
+    assert abs(loss_t[-1] - loss_t[0]) > 1e-6
+    # GATE CALIBRATION (measured, PARITY.md §co-training): the optimization
+    # trajectory at this operating point is CHAOTIC — the reference run
+    # against ITSELF with a 1e-5 parameter perturbation diverges MORE than
+    # the two implementations do (self-envelope: loss drift 6.1x by iter
+    # 300, held-out err_t split 1.8 vs 13.2 deg; cross-implementation:
+    # 2.99x and 1.8 vs 7.6). The honest assertion is therefore that the
+    # cross-implementation divergence stays inside the reference's own
+    # perturbation envelope and that BOTH models converge.
+    assert rel[49] < 1.0, rel[49]           # measured 0.22 (self: 0.105)
+    assert rel.max() < 6.0, rel.max()       # measured 2.99 (self: 6.1)
+    first_q = max(err_drift[0][1], err_drift[0][2])
+    first_t = max(err_drift[0][3], err_drift[0][4])
+    it, eq_t, eq_j, et_t, et_j = err_drift[-1]
+    # Both converged on the held-out batch...
+    assert eq_t < 2.0 and eq_j < 2.0, (eq_t, eq_j)
+    assert et_t < 20.0 and et_j < 20.0, (et_t, et_j)
+    assert et_t < 0.5 * first_t and et_j < 0.5 * first_t
+    # ...and every checkpoint's spread sits inside the self-chaos envelope
+    # (measured self-spread: err_q up to 1.5, err_t up to 17.3).
+    for it, eq_t, eq_j, et_t, et_j in err_drift:
+        assert abs(eq_t - eq_j) < 3.0, (it, eq_t, eq_j)
+        assert abs(et_t - et_j) < 31.0, (it, et_t, et_j)
