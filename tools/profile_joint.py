@@ -22,6 +22,10 @@ import numpy as np
 
 import jax
 
+# --fullres: profile at the reference production operating point
+# (gauss2 bf16, 376x1240, N=1000, B=4) instead of the quick 240x320 shape.
+FULLRES = "--fullres" in sys.argv
+
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       ".jax_cache")
 try:
@@ -32,9 +36,9 @@ except Exception:  # noqa: BLE001
 
 import jax.numpy as jnp
 
-BATCH = 8
-HW = (240, 320)
-N = 300
+BATCH = 4 if FULLRES else 8
+HW = (376, 1240) if FULLRES else (240, 320)
+N = 1000 if FULLRES else 300
 DEPTH = 5
 
 
@@ -57,7 +61,12 @@ def build_step(sp_stopgrad_offsets=False, sp_stopgrad_desc=False,
     ds = SyntheticImagePairs(image_size=HW, seed=0)
     batch = {k: jnp.asarray(v) for k, v in ds.batch(BATCH).items()}
 
-    sp_net = SuperPointNet(dtype=jnp.bfloat16)
+    if FULLRES:
+        from deepfepe_tpu.frontend import SuperPointNetGauss2
+
+        sp_net = SuperPointNetGauss2(dtype=jnp.bfloat16)
+    else:
+        sp_net = SuperPointNet(dtype=jnp.bfloat16)
     deepf_net = DeepFNet(depth=DEPTH, image_size=HW, if_quality=True,
                          mlp_dtype=jnp.bfloat16)
     fp = FrontendParams(out_num_points=N, conf_thresh=1e-4)
@@ -125,6 +134,55 @@ def time_step(step, state, batch, iters=15):
 
 
 def main():
+    # Forward-only (eval) step first: the fwd/bwd split at this shape.
+    try:
+        import optax  # noqa: F401
+
+        from deepfepe_tpu.train.joint import make_joint_eval_step
+
+        step, state, batch, restore = build_step()
+        from deepfepe_tpu.data.synthetic_images import SyntheticImagePairs
+        from deepfepe_tpu.frontend import FrontendParams, SuperPointNet
+        from deepfepe_tpu.models import DeepFNet
+        from deepfepe_tpu.train import Config
+
+        cfg = Config()
+        cfg.model.depth = DEPTH
+        cfg.model.if_quality = True
+        cfg.data.good_num = N
+        if FULLRES:
+            from deepfepe_tpu.frontend import SuperPointNetGauss2
+
+            sp_net = SuperPointNetGauss2(dtype=jnp.bfloat16)
+        else:
+            sp_net = SuperPointNet(dtype=jnp.bfloat16)
+        deepf_net = DeepFNet(depth=DEPTH, image_size=HW, if_quality=True,
+                             mlp_dtype=jnp.bfloat16)
+        fp = FrontendParams(out_num_points=N, conf_thresh=1e-4)
+        ev = make_joint_eval_step(deepf_net, sp_net, fp, cfg)
+        dp, sp = state.deepf_params, state.sp_params
+        for _ in range(2):
+            m = ev(dp, sp, batch)
+        float(np.asarray(m["loss"]))
+
+        def run(k):
+            t0 = time.perf_counter()
+            m_l = None
+            for _ in range(k):
+                m_l = ev(dp, sp, batch)
+            float(np.asarray(m_l["loss"]))
+            return time.perf_counter() - t0
+
+        t1, t2 = run(10), run(20)
+        dt = max(t2 - t1, 1e-9) / 10
+        restore()
+        print(json.dumps({"variant": "forward_only",
+                          "ms_per_step": round(dt * 1e3, 2),
+                          "pairs_per_s": round(BATCH / dt, 2)}), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"variant": "forward_only", "error": repr(e)[:200]}),
+              flush=True)
+
     variants = [
         ("full", {}),
         ("no_offsets_grad", {"sp_stopgrad_offsets": True}),
