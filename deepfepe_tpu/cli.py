@@ -749,6 +749,33 @@ def cmd_infer(args):
     return out
 
 
+def cmd_export_torch(args):
+    """Export a trained solver checkpoint to the reference's .pth.tar
+    format, so models trained HERE run in the reference stack unmodified
+    (the inverse of --pretrained's torch import)."""
+    import jax.numpy as jnp
+
+    from .data import SyntheticPairs
+    from .loader import model_loader
+    from .train import load_config
+    from .utils.torch_import import save_reference_checkpoint
+
+    cfg = load_config(args.config)
+    net = model_loader(cfg)
+    batch = SyntheticPairs(good_num=cfg.data.good_num, seed=0).batch(2)
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    template = net.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        db,
+    )
+    from .eval.val_pipeline import load_params_msgpack
+
+    variables = load_params_msgpack(args.checkpoint, template)
+    save_reference_checkpoint(variables, args.out, n_iter=args.n_iter)
+    print(json.dumps({"out": args.out, "n_iter": args.n_iter}))
+    return args.out
+
+
 def cmd_verify_dump(args):
     """Dump-tree integrity check — step 0 of the real-data playbook
     (README §readiness): per scene, validate cam/poses/Rt_cam2_gt shapes,
@@ -909,6 +936,14 @@ def main(argv=None):
                         help="polish only pairs with >= this many "
                              "effective matches")
         sp.set_defaults(fn=fn)
+    sp = sub.add_parser("export_torch",
+                        help="export a solver checkpoint to the "
+                             "reference .pth.tar format")
+    sp.add_argument("config", help="model config YAML (arch must match)")
+    sp.add_argument("checkpoint", help="our .msgpack checkpoint")
+    sp.add_argument("out", help="output .pth.tar path")
+    sp.add_argument("--n_iter", type=int, default=0)
+    sp.set_defaults(fn=cmd_export_torch)
     sp = sub.add_parser("verify_dump",
                         help="dump-tree integrity check (playbook step 0)")
     sp.add_argument("dump_root")

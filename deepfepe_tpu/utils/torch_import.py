@@ -233,3 +233,96 @@ def load_reference_checkpoint(
     if kind == "superpoint_gauss2":
         return convert_superpoint_gauss2_state(sd), n_iter
     return convert_superpoint_state(sd), n_iter
+
+
+# ---------------------------------------------------------------------------
+# Export: our flax params -> reference torch state_dict (the inverse map)
+# ---------------------------------------------------------------------------
+
+
+def export_error_estimator(
+    params: Dict, prefix: str, stats: Optional[Dict] = None,
+    if_bn: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_error_estimator`: our flax
+    {'Dense_i', 'InstanceNorm1d_i'[, 'BatchNorm_i']} tree -> the
+    reference's '<prefix>.fw.<i>.{weight,bias}' Conv1d/norm keys
+    (models/ErrorEstimators.py:14-69 layout)."""
+    n_hidden = 5
+    stride = 4 if if_bn else 3
+    conv_idx = [i * stride for i in range(n_hidden)] + [n_hidden * stride]
+    in_off = 2 if if_bn else 1
+    sd: Dict[str, np.ndarray] = {}
+    for li, ci in enumerate(conv_idx):
+        dense = params[f"Dense_{li}"]
+        k = np.asarray(dense["kernel"])  # [in, out]
+        sd[f"{prefix}.fw.{ci}.weight"] = np.ascontiguousarray(
+            k.T[:, :, None]
+        )  # [out, in, 1]
+        if "bias" in dense:
+            sd[f"{prefix}.fw.{ci}.bias"] = np.asarray(dense["bias"])
+        if li < n_hidden:
+            inorm = params[f"InstanceNorm1d_{li}"]
+            ii = ci + in_off
+            sd[f"{prefix}.fw.{ii}.weight"] = np.asarray(inorm["scale"])
+            sd[f"{prefix}.fw.{ii}.bias"] = np.asarray(inorm["bias"])
+            if if_bn:
+                bn = params[f"BatchNorm_{li}"]
+                bi = ci + 1
+                sd[f"{prefix}.fw.{bi}.weight"] = np.asarray(bn["scale"])
+                sd[f"{prefix}.fw.{bi}.bias"] = np.asarray(bn["bias"])
+                if stats and f"BatchNorm_{li}" in stats:
+                    s = stats[f"BatchNorm_{li}"]
+                    sd[f"{prefix}.fw.{bi}.running_mean"] = np.asarray(
+                        s["mean"]
+                    )
+                    sd[f"{prefix}.fw.{bi}.running_var"] = np.asarray(
+                        s["var"]
+                    )
+    return sd
+
+
+def export_deepf_state(variables: Dict, if_bn: bool = False) -> Dict:
+    """Our DeepFNet flax variables -> a reference-layout state_dict
+    (numpy values) loadable by the live torch net via
+    `net.load_state_dict` (the Fit buffers are plain attributes there, so
+    the ErrorEstimator stacks are the complete state)."""
+    params = variables.get("params", variables)
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    for name, tree in params.items():
+        if not any(k.startswith("Dense_") for k in tree):
+            continue
+        sd.update(
+            export_error_estimator(
+                tree, name, stats.get(name), if_bn=if_bn
+            )
+        )
+    if not sd:
+        raise ValueError("no ErrorEstimator stacks found in variables")
+    return sd
+
+
+def save_reference_checkpoint(
+    variables: Dict, path: str, n_iter: int = 0, if_bn: bool = False
+) -> None:
+    """Write a reference-format .pth.tar (`save_checkpoint` schema:
+    {n_iter, model_state_dict, ...}, Train_model_pipeline.py:56-77) from
+    our flax variables, so models trained HERE run in the reference
+    stack unmodified."""
+    import torch
+
+    sd = {
+        k: torch.tensor(np.ascontiguousarray(v))
+        for k, v in export_deepf_state(variables, if_bn=if_bn).items()
+    }
+    torch.save(
+        {
+            "n_iter": int(n_iter),
+            "n_iter_val": 0,
+            "model_state_dict": sd,
+            "optimizer_state_dict": {},
+            "loss": 0.0,
+        },
+        path,
+    )

@@ -333,3 +333,104 @@ def test_gauss2_checkpoint_auto_detect(tmp_path):
     assert "inc" in variables["params"]
     assert variables["params"]["convPb"]["kernel"].shape == (1, 1, 256, 65)
     assert variables["batch_stats"]["bnDb"]["mean"].shape == (256,)
+
+
+def test_export_roundtrip_identity():
+    """export_deepf_state is the exact inverse of convert_deepf_state:
+    flax init -> torch layout -> flax again is bit-identical."""
+    import jax
+
+    from deepfepe_tpu.data import SyntheticPairs
+    from deepfepe_tpu.models import DeepFNet
+    from deepfepe_tpu.utils.torch_import import export_deepf_state
+
+    net = DeepFNet(depth=2, image_size=(240, 320), if_quality=True)
+    batch = SyntheticPairs(good_num=64, seed=0).batch(2)
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        db,
+    )
+    sd = export_deepf_state(variables)
+    assert any(k.endswith("fw.0.weight") for k in sd)
+    back = convert_deepf_state(sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = jax.tree_util.tree_leaves_with_path(back["params"])
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (pb, b) in zip(sorted(flat_a, key=lambda x: str(x[0])),
+                                sorted(flat_b, key=lambda x: str(x[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_loads_into_live_reference_net(tmp_path):
+    """save_reference_checkpoint output loads into the LIVE torch DeepFNet
+    via its own pretrainedLoader path (strict state_dict match) and the
+    two nets then agree on a forward pass — models trained HERE run in
+    the reference stack."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import jax
+
+    from _reference_oracle import load_reference
+
+    from deepfepe_tpu.data import SyntheticPairs
+    from deepfepe_tpu.models import DeepFNet
+    from deepfepe_tpu.utils.torch_import import save_reference_checkpoint
+
+    ref = load_reference()
+    H, W = 240, 320
+    net_t = ref.DeepFNet(
+        depth=2, image_size=[H, W, 3], if_quality=False,
+        is_cuda=False, is_test=False, if_cpu_svd=False,
+    )
+
+    # Our net with matching IO sizes (if_quality=False -> 4-d input).
+    net_j = DeepFNet(depth=2, image_size=(H, W), if_quality=False)
+    batch = SyntheticPairs(good_num=128, seed=3).batch(2)
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    db.pop("quality", None)
+    variables = net_j.init(
+        {"params": jax.random.PRNGKey(7), "sample": jax.random.PRNGKey(8)},
+        db,
+    )
+    path = tmp_path / "exported.pth.tar"
+    save_reference_checkpoint(variables, str(path), n_iter=42)
+
+    ckpt = torch.load(path, weights_only=False)
+    assert ckpt["n_iter"] == 42
+    missing, unexpected = net_t.load_state_dict(
+        ckpt["model_state_dict"], strict=False
+    )
+    assert not unexpected, unexpected
+    # Only torch-side buffers/extras may be missing, never weights:
+    assert not [m for m in missing if ".fw." in m], missing
+
+    m = np.asarray(batch["matches_xy_ori"], np.float32)
+    data_t = {
+        "matches_xy_ori": torch.tensor(m),
+        "matches_good_unique_nums": torch.full((2,), 128),
+        "t_scene_scale": torch.ones(2, 1),
+    }
+    with torch.no_grad():
+        preds_t = net_t(data_t)
+    preds_j = net_j.apply(variables, db)
+    F_t = (
+        preds_t["T2"].transpose(1, 2) @ preds_t["F_est"] @ preds_t["T1"]
+    ).numpy()
+    F_j = np.asarray(
+        jnp.swapaxes(preds_j["T2"], -1, -2)
+        @ preds_j["F_est"] @ preds_j["T1"]
+    )
+
+    def canon(M):
+        M = M / np.linalg.norm(M, axis=(-2, -1), keepdims=True)
+        flat = M.reshape(M.shape[0], -1)
+        idx = np.argmax(np.abs(flat), axis=-1)
+        sign = np.sign(
+            np.take_along_axis(flat, idx[:, None], axis=-1)
+        )[:, :, None]
+        return M * sign
+
+    np.testing.assert_allclose(canon(F_t), canon(F_j), atol=5e-4)
