@@ -228,7 +228,12 @@ class KittiCorrDataset:
         matches[:, 1] *= zy
         matches[:, 2] *= zx
         matches[:, 3] *= zy
-        quality = mq[:, 4:5].copy() if mq.shape[1] > 4 else np.ones(
+        # Keep ALL quality columns: the reference's quality_good is
+        # matches[:, 4:] with only col0 scaled by /300
+        # (kitti_odo_corr.py:495-503) — its real dumps carry TWO quality
+        # cols (configs set model.quality_size: 2), and dropping the
+        # second one starves if_quality models of an input.
+        quality = mq[:, 4:].copy() if mq.shape[1] > 4 else np.ones(
             (len(mq), 1), np.float32
         )
         quality[:, 0] = quality[:, 0] / 300.0  # reference scaling (:503)

@@ -115,7 +115,10 @@ class DeepFNet(nn.Module):
         pts2_h, T2 = normalize_hw(pts[..., 2:4], self.image_size)
         feats = [(pts1_h[..., :2] + 1.0) / 2.0, (pts2_h[..., :2] + 1.0) / 2.0]
         if self.if_quality:
-            feats.append(data_batch["quality"])
+            # quality_size is authoritative (config model.quality_size, as
+            # in the reference's model_params): dumps may carry more
+            # quality columns than the net was built for.
+            feats.append(data_batch["quality"][..., : self.quality_size])
         if self.if_des:
             feats.append(data_batch["des"])
         weight_in = jnp.concatenate(feats, axis=-1)  # [B, N, C]

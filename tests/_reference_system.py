@@ -141,6 +141,7 @@ def make_reference_eval_config(
     batch_size: int,
     five_point: bool = False,
     if_quality: bool = False,
+    quality_size: int = 2,
 ):
     """The reference's kitti_corr_baselineEval.yaml schema with the dump
     root / shapes / checkpoint pointed at the test tree (SIFT mode,
@@ -161,7 +162,9 @@ def make_reference_eval_config(
     cfg["data"]["image"]["size"] = [H, W, 3]
     cfg["data"]["preprocessing"]["resize"] = [H, W]
     cfg["data"]["read_what"]["with_quality"] = if_quality
-    cfg["model"].update(if_SP=False, if_quality=if_quality)
+    cfg["model"].update(
+        if_SP=False, if_quality=if_quality, quality_size=quality_size
+    )
     cfg["exps"].update(five_point=five_point)
     cfg["training"].update(
         workers_train=0,

@@ -79,9 +79,12 @@ def shared_tree(tmp_path_factory):
     good_num = min(GOOD_NUM, min(len(r) for r in pools))
     assert good_num >= 32, f"too few matches ({good_num}) for a solver run"
     for i, rows in enumerate(pools):
+        # Also truncate to ONE quality column (5-col rows): the reference
+        # feeds quality = cols[4:] whole, so a single column keeps both
+        # stacks' quality inputs identical for the if_quality variant.
         np.save(
             scene / f"ij_match_quality_{i}-{i + 1}_good.npy",
-            rows[:good_num],
+            rows[:good_num, :5],
         )
 
     for task in ("train", "val", "test"):
@@ -264,3 +267,115 @@ def test_full_system_baseline_statistics(reference_npz, ours_npz):
     mr, mo = np.median(ref["err_t"]), np.median(ours["err_t"])
     assert mr < 60.0 and mo < 60.0
     assert max(mr, mo) / max(min(mr, mo), 1e-6) < 2.5, (mr, mo)
+
+
+# ---------------------------------------------------------------------------
+# Trained-weights variant: the flagship checkpoint through BOTH systems
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(shared_tree):
+    """The flagship qt-trained solver, exported to the reference's
+    .pth.tar format via the CLI export surface (round-3 two-way
+    interop), shared by both stacks."""
+    from deepfepe_tpu.cli import main
+
+    out = shared_tree["root"] / "flagship_export.pth.tar"
+    main(["export_torch", "configs/synthetic_qt.yaml",
+          "experiments/flagship/ckpt_qt_best.msgpack", str(out)])
+    return out
+
+
+@pytest.fixture(scope="module")
+def reference_npz_trained(shared_tree, trained_ckpt, tmp_path_factory):
+    from _reference_system import (
+        make_reference_eval_config,
+        run_reference_eval_good,
+    )
+
+    cfg = make_reference_eval_config(
+        shared_tree["root"], trained_ckpt,
+        good_num=shared_tree["good_num"], image_hw=(H, W),
+        batch_size=BATCH, if_quality=True, quality_size=1,
+    )
+    out = tmp_path_factory.mktemp("ref_eval_trained")
+    return run_reference_eval_good(cfg, str(out))
+
+
+@pytest.fixture(scope="module")
+def ours_npz_trained(shared_tree, trained_ckpt, tmp_path_factory):
+    from deepfepe_tpu.cli import main
+
+    out = tmp_path_factory.mktemp("our_eval_trained")
+    cfg = {
+        "data": {
+            "dataset": "kitti_odo_corr",
+            "dump_root": str(shared_tree["root"]),
+            "sequence_length": 2,
+            "delta_ij": 1,
+            "batch_size": BATCH,
+            "good_num": shared_tree["good_num"],
+            "image": {"size": [H, W, 3]},
+            "preprocessing": {"resize": [H, W]},
+        },
+        "model": {
+            "name": "GoodCorresNet_layers_deepF",
+            "depth": 5,
+            "clamp_at": 0.02,
+            "if_quality": True,
+            "quality_size": 1,
+            "if_qt_loss": False,
+        },
+        "exps": {
+            "five_point": False,
+            "base_name": "opencv_8p",
+            "our_name": "DeepF",
+            "filename": "err_ratio.npz",
+        },
+        "training": {"learning_rate": 1.0e-4, "train_iter": 0,
+                     "reproduce": True, "seed": 0},
+    }
+    cfg_path = out / "eval.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    cwd = os.getcwd()
+    try:
+        os.chdir(out)
+        main(["eval_good", str(cfg_path), "sysparity_trained",
+              "--pretrained", str(trained_ckpt)])
+    finally:
+        os.chdir(cwd)
+    d = out / "logs" / "sysparity_trained"
+    return {"our": dict(np.load(d / "DeepF_err_ratio.npz"))}
+
+
+def test_full_system_parity_trained_weights(
+    reference_npz_trained, ours_npz_trained
+):
+    """The TRAINED flagship produces the same eval numbers through both
+    complete systems. Trained weights concentrate the softmax on real
+    inliers, so the fit is well-conditioned and the parity is tighter
+    than the untrained variant's (no junk-pair escape needed)."""
+    ref = reference_npz_trained["our"]
+    ours = ours_npz_trained["our"]
+    assert ref["err_q"].shape == ours["err_q"].shape
+    dq = np.abs(ref["err_q"] - ours["err_q"])
+    dt = np.abs(ref["err_t"] - ours["err_t"])
+    print("\n[trained] ref err_q:", np.round(ref["err_q"], 3))
+    print("[trained] our err_q:", np.round(ours["err_q"], 3))
+    print("[trained] ref err_t:", np.round(ref["err_t"], 3))
+    print("[trained] our err_t:", np.round(ours["err_t"], 3))
+    assert np.median(dq) < 0.05, np.median(dq)
+    assert np.median(dt) < 0.5, np.median(dt)
+    assert np.max(dq) < 5.0, np.max(dq)
+    # Translation gate on pairs where at least one stack produced a
+    # meaningful direction; a junk-t pair (this scene's pair 0: ref 118 /
+    # ours 63 deg — degenerate geometry) must be junk in BOTH stacks.
+    good_t = (ref["err_t"] < 45.0) | (ours["err_t"] < 45.0)
+    assert np.sum(good_t) >= 0.8 * len(dt)
+    assert np.max(dt[good_t]) < 15.0, np.max(dt[good_t])
+    for i in np.nonzero(~good_t)[0]:
+        assert ref["err_t"][i] > 45.0 and ours["err_t"][i] > 45.0, (
+            f"pair {i}: one stack found t where the other failed"
+        )
