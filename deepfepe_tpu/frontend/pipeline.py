@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .matching import Matches, gather_matches, mutual_nn_match
@@ -20,7 +21,12 @@ from .superpoint import SuperPointNet, flatten_detection
 
 
 class FrontendParams:
-    """The reference SP_params knob set (configs/*:SP_params)."""
+    """The reference SP_params knob set (configs/*:SP_params).
+
+    conv_backend routes the CNN forward: 'auto' = fused Pallas convs on
+    TPU (frontend/sp_pallas.py — value-equal to the flax modules,
+    measured ~3x cheaper under grad at full res), flax elsewhere;
+    'fused' / 'flax' force a side."""
 
     def __init__(
         self,
@@ -29,19 +35,37 @@ class FrontendParams:
         nms_dist: int = 4,
         conf_thresh: float = 0.015,
         nn_thresh: float = 1.0,
+        conv_backend: str = "auto",
     ):
         self.out_num_points = out_num_points
         self.patch_size = patch_size
         self.nms_dist = nms_dist
         self.conf_thresh = conf_thresh
         self.nn_thresh = nn_thresh
+        self.conv_backend = conv_backend
+
+
+def _use_fused_convs(fp: FrontendParams) -> bool:
+    mode = getattr(fp, "conv_backend", "auto")
+    if mode == "fused":
+        return True
+    if mode == "auto":
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    return False
 
 
 def run_superpoint(
     net: SuperPointNet, params, images: jnp.ndarray, fp: FrontendParams
 ) -> Keypoints:
     """images: [B, H, W] grayscale in [0,1] -> Keypoints with descriptors."""
-    outs = net.apply(params, images[..., None])
+    if _use_fused_convs(fp):
+        from .sp_pallas import superpoint_forward_fused
+
+        outs = superpoint_forward_fused(net, params, images[..., None])
+    else:
+        outs = net.apply(params, images[..., None])
     heatmap = flatten_detection(outs["semi"])
     return extract_keypoints(
         heatmap,
@@ -64,8 +88,17 @@ def get_matches_from_sp(
     Returns {'matches_xy_ori' [B,N,4], 'quality' [B,N,1], 'valid' [B,N],
     'kpts1', 'kpts2', 'matches'}.
     """
-    k1 = run_superpoint(net, params, imgs_grey[0], fp)
-    k2 = run_superpoint(net, params, imgs_grey[1], fp)
+    # One [2B] net pass for both frames, split after: value-identical
+    # (the CNN is per-item; BN runs on running stats), and measured 3x
+    # cheaper under grad on the v5e — XLA picks a pathological conv
+    # layout strategy for B=4 full-res chains that it avoids at B=8
+    # (93.8 ms fwd+bwd for two B=4 encoder chains vs 31.6 ms for one
+    # B=8 chain, tools-level experiment, ROADMAP round-3 §joint perf).
+    B = imgs_grey[0].shape[0]
+    both = jnp.concatenate([imgs_grey[0], imgs_grey[1]], axis=0)
+    kk = run_superpoint(net, params, both, fp)
+    k1 = jax.tree_util.tree_map(lambda a: a[:B], kk)
+    k2 = jax.tree_util.tree_map(lambda a: a[B:], kk)
     m = mutual_nn_match(
         k1.desc, k2.desc, k1.valid, k2.valid,
         nn_thresh=fp.nn_thresh, num_matches=fp.out_num_points,

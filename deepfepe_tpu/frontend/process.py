@@ -83,19 +83,25 @@ def soft_argmax_refine(
     back into the SuperPoint CNN (matches_use = xs + offsets,
     Train_model_pipeline.py:384).
 
-    impl='conv' (the 'auto' default for the center-of-mass case) computes
-    the offset fields as three depthwise correlations over the heatmap
-    (Σpatch, Σpatch·dx, Σpatch·dy) and evaluates them at the keypoints via
-    one-hot contractions — forward AND backward are convs + matmuls with
-    no per-point patch gathers (whose transpose is a scatter-add into
-    [B, H, W], the round-2 joint-backward bottleneck). Interior keypoints
+    impl='matmul' (the 'auto' default for the center-of-mass case)
+    computes the three window sums (Σpatch, Σpatch·dx, Σpatch·dy) as
+    window-hot row/column contractions against the heatmap — two batched
+    [K,H]x[H,W] MXU matmuls whose transpose under grad is again matmuls,
+    with no full-res conv and no per-point patch gathers (whose transpose
+    is a scatter-add into [B, H, W], the round-2 joint-backward
+    bottleneck; the round-3 'conv' formulation still paid ~24 ms of the
+    84 ms full-res joint step in the 3-channel full-res conv backward and
+    [B,K,H,3] einsum chain — 'matmul' removes both). Interior keypoints
     (≥ patch//2 from the border) match impl='gather' exactly; at the
-    border 'conv' keeps the window centered (zero-padded) while 'gather'
-    shifts it inward. The softmax (temperature) variant is per-patch
-    nonlinear and always uses 'gather'.
+    border 'matmul'/'conv' keep the window centered (zero-padded) while
+    'gather' shifts it inward. The softmax (temperature) variant is
+    per-patch nonlinear and always uses 'gather'.
     """
     if impl == "auto":
-        impl = "gather" if temperature is not None else "conv"
+        impl = "gather" if temperature is not None else "matmul"
+    if impl == "matmul":
+        assert temperature is None, "softmax refinement needs impl='gather'"
+        return _soft_argmax_refine_matmul(heatmap, kpts, patch_size, eps)
     if impl == "conv":
         assert temperature is None, "softmax refinement needs impl='gather'"
         return _soft_argmax_refine_conv(heatmap, kpts, patch_size, eps)
@@ -132,6 +138,49 @@ def soft_argmax_refine(
         return jax.vmap(per_point)(xy)
 
     offsets = jax.vmap(per_image)(heatmap, kpts.xy)
+    offsets = jnp.where(kpts.valid[..., None], offsets, 0.0)
+    return kpts._replace(offsets=offsets)
+
+
+def _soft_argmax_refine_matmul(
+    heatmap: jnp.ndarray,
+    kpts: Keypoints,
+    patch_size: int = 5,
+    eps: float = 1e-10,
+) -> Keypoints:
+    """Scatter-free, conv-free center-of-mass refinement.
+
+    With window-hot selectors wy[k,h] = 1[|h-y_k|<=r] (and the
+    moment-weighted wyd[k,h] = (h-y_k)*wy[k,h], likewise wx/wxd over W):
+
+        S  = wy . hm . wx      Sx = wy . hm . wxd     Sy = wyd . hm . wx
+
+    i.e. two batched [K,H]x[H,W] matmuls (hm row-contractions with wy and
+    wyd) followed by [K,W] row dots — all MXU, and the VJP is the same
+    matmuls transposed (dense adds into dhm). Values equal the 'conv'
+    formulation exactly in f32: centered zero-padded windows at the
+    integer keypoint positions."""
+    B, H, W = heatmap.shape
+    dtype = jnp.float32
+    hm = heatmap.astype(dtype)
+    r = patch_size // 2
+    ih = jnp.arange(H, dtype=dtype)
+    iw = jnp.arange(W, dtype=dtype)
+    ys = kpts.xy[..., 1].astype(dtype)[..., None]  # [B, K, 1]
+    xs = kpts.xy[..., 0].astype(dtype)[..., None]
+    wy = (jnp.abs(ih - ys) <= r).astype(dtype)       # [B, K, H]
+    wyd = (ih - ys) * wy
+    wx = (jnp.abs(iw - xs) <= r).astype(dtype)       # [B, K, W]
+    wxd = (iw - xs) * wx
+
+    t0 = jnp.einsum("bkh,bhw->bkw", wy, hm, preferred_element_type=dtype)
+    t1 = jnp.einsum("bkh,bhw->bkw", wyd, hm, preferred_element_type=dtype)
+    s = jnp.sum(t0 * wx, axis=-1)
+    sx = jnp.sum(t0 * wxd, axis=-1)
+    sy = jnp.sum(t1 * wx, axis=-1)
+    offsets = jnp.stack(
+        [sx / (s + eps), sy / (s + eps)], axis=-1
+    ).astype(heatmap.dtype)
     offsets = jnp.where(kpts.valid[..., None], offsets, 0.0)
     return kpts._replace(offsets=offsets)
 

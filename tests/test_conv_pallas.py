@@ -1,0 +1,149 @@
+"""Fused conv kernel + functional SuperPoint forward parity.
+
+Covers ops/pallas/conv_pallas.py (values and all four gradients vs the
+XLA reference, interpret mode) and frontend/sp_pallas.py (fused
+functional forward vs the flax modules, forward and backward), plus the
+run_superpoint conv_backend routing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfepe_tpu.frontend.pipeline import FrontendParams, run_superpoint
+from deepfepe_tpu.frontend.sp_pallas import superpoint_forward_fused
+from deepfepe_tpu.frontend.superpoint import (
+    SuperPointNet,
+    SuperPointNetGauss2,
+)
+from deepfepe_tpu.ops.pallas.conv_pallas import (
+    conv3x3_affine_relu,
+    conv3x3_affine_relu_ref,
+)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(2, 13, 17, 1, 64), (1, 16, 32, 64, 64), (3, 9, 21, 5, 8)],
+    ids=["cin1_pad", "aligned64", "odd_small"],
+)
+def test_kernel_value_and_grad_parity(shape):
+    B, H, W, Cin, C = shape
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[1], (B, H, W, Cin), jnp.float32)
+    w = jax.random.normal(ks[2], (3, 3, Cin, C), jnp.float32) * 0.1
+    s = jax.random.normal(ks[3], (C,)) * 0.5 + 1.0
+    t = jax.random.normal(ks[4], (C,)) * 0.1
+
+    y1 = conv3x3_affine_relu(x, w, s, t, backend="pallas")
+    y0 = conv3x3_affine_relu_ref(x, w, s, t)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=5e-5)
+
+    cot = jax.random.normal(ks[1], (B, H, W, C))
+    g1 = jax.grad(
+        lambda *a: jnp.sum(conv3x3_affine_relu(*a, backend="pallas") * cot),
+        (0, 1, 2, 3),
+    )(x, w, s, t)
+    g0 = jax.grad(
+        lambda *a: jnp.sum(conv3x3_affine_relu_ref(*a) * cot), (0, 1, 2, 3)
+    )(x, w, s, t)
+    for name, a, b in zip("dx dw ds dt".split(), g1, g0):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-4, (name, rel)
+
+
+def test_kernel_need_dx_false_zero_input_grad():
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(ks[0], (1, 12, 20, 1), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, 1, 8), jnp.float32)
+    s = jnp.ones((8,))
+    t = jnp.zeros((8,))
+    g = jax.grad(
+        lambda x: jnp.sum(
+            conv3x3_affine_relu(x, w, s, t, need_dx=False, backend="pallas")
+        )
+    )(x)
+    assert float(jnp.abs(g).max()) == 0.0
+    # and the weight grad is still exact
+    gw1 = jax.grad(
+        lambda w: jnp.sum(
+            conv3x3_affine_relu(x, w, s, t, need_dx=False, backend="pallas")
+        )
+    )(w)
+    gw0 = jax.grad(
+        lambda w: jnp.sum(conv3x3_affine_relu_ref(x, w, s, t))
+    )(w)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0), rtol=1e-5,
+                               atol=1e-5)
+
+
+def _randomized_variables(net, x, seed=2):
+    v = net.init(jax.random.PRNGKey(1), x)
+    if "batch_stats" in v:
+        leaves, treedef = jax.tree_util.tree_flatten(v["batch_stats"])
+        ks = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+        leaves = [
+            jnp.abs(l + 0.3 * jax.random.normal(kk, l.shape)) + 0.05
+            for l, kk in zip(leaves, ks)
+        ]
+        v = dict(v)
+        v["batch_stats"] = jax.tree_util.tree_unflatten(treedef, leaves)
+    return v
+
+
+@pytest.mark.parametrize("cls", [SuperPointNetGauss2, SuperPointNet],
+                         ids=["gauss2", "plain"])
+def test_fused_forward_matches_flax(cls):
+    net = cls(dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 48, 64, 1))
+    v = _randomized_variables(net, x)
+    o0 = net.apply(v, x)
+    o1 = superpoint_forward_fused(net, v, x)
+    for k in ("semi", "desc"):
+        np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o0[k]),
+                                   atol=2e-6)
+
+
+def test_fused_forward_param_grads_match_flax():
+    net = SuperPointNetGauss2(dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 48, 1))
+    v = _randomized_variables(net, x)
+    cot_semi = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 6, 65))
+
+    def loss_flax(params):
+        o = net.apply({"params": params, "batch_stats": v["batch_stats"]}, x)
+        return jnp.sum(o["semi"] * cot_semi) + jnp.sum(o["desc"] ** 2)
+
+    def loss_fused(params):
+        o = superpoint_forward_fused(
+            net, {"params": params, "batch_stats": v["batch_stats"]}, x
+        )
+        return jnp.sum(o["semi"] * cot_semi) + jnp.sum(o["desc"] ** 2)
+
+    g0 = jax.grad(loss_flax)(v["params"])
+    g1 = jax.grad(loss_fused)(v["params"])
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {jax.tree_util.keystr(p): l
+             for p, l in jax.tree_util.tree_leaves_with_path(g1)}
+    for path, a in flat0:
+        b = flat1[jax.tree_util.keystr(path)]
+        denom = float(jnp.abs(a).max()) + 1e-6
+        rel = float(jnp.abs(a - b).max()) / denom
+        assert rel < 1e-4, (jax.tree_util.keystr(path), rel)
+
+
+def test_run_superpoint_fused_routing_matches_flax():
+    net = SuperPointNetGauss2(dtype=jnp.float32)
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (2, 48, 64))
+    v = _randomized_variables(net, imgs[..., None])
+    fp0 = FrontendParams(out_num_points=50, conf_thresh=1e-4,
+                         conv_backend="flax")
+    fp1 = FrontendParams(out_num_points=50, conf_thresh=1e-4,
+                         conv_backend="fused")
+    k0 = run_superpoint(net, v, imgs, fp0)
+    k1 = run_superpoint(net, v, imgs, fp1)
+    np.testing.assert_allclose(np.asarray(k1.xy), np.asarray(k0.xy))
+    np.testing.assert_allclose(np.asarray(k1.desc), np.asarray(k0.desc),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(k1.valid), np.asarray(k0.valid))

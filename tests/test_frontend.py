@@ -194,6 +194,12 @@ def test_softargmax_conv_matches_gather_interior(rng):
     kp = topk_keypoints(nms_heatmap(hm, 4), K, conf_thresh=1e-4)
     kg = soft_argmax_refine(hm, kp, patch_size=5, impl="gather")
     kc = soft_argmax_refine(hm, kp, patch_size=5, impl="conv")
+    km = soft_argmax_refine(hm, kp, patch_size=5, impl="matmul")
+    # 'matmul' (the default) and 'conv' are the same centered-window math
+    # on ALL keypoints, border included.
+    np.testing.assert_allclose(
+        np.asarray(km.offsets), np.asarray(kc.offsets), atol=1e-5
+    )
     xy = np.asarray(kp.xy)
     interior = (
         (xy[..., 0] >= r) & (xy[..., 0] < W - r)
@@ -205,8 +211,8 @@ def test_softargmax_conv_matches_gather_interior(rng):
         np.asarray(kg.offsets)[interior], np.asarray(kc.offsets)[interior],
         atol=1e-5,
     )
-    # Both implementations carry heatmap gradients.
-    for impl in ("gather", "conv"):
+    # All implementations carry heatmap gradients.
+    for impl in ("gather", "conv", "matmul"):
         g = jax.grad(
             lambda h: jnp.sum(
                 soft_argmax_refine(h, kp, patch_size=5, impl=impl).offsets

@@ -51,7 +51,12 @@ def test_val_pipeline_precomputed_matches(tmp_path):
     assert result["val"]["err_q_est"].shape == (2,)
     assert 0.0 <= float(result["ratios"]["gt"]["ratio@1.0"].mean()) <= 1.0
     # gt F should explain nearly all inliers (15% outliers injected).
-    assert float(result["ratios"]["gt"]["ratio@1.0"].mean()) > 0.7
+    # epi_dists use the reference's SUM-of-both-sides convention
+    # (epi_distance_np dist3; see the round-3 eval convention fix), so the
+    # old 1px-mean gate corresponds to 2px here; with ~15% outliers and
+    # f32 noise the clean fraction sits around 0.8.
+    dists = np.asarray(result["val"]["epi_dists_gt"])
+    assert float(np.mean(dists < 2.0)) > 0.7
 
     figs = vp.plot_one_sample(result, save_dir=str(tmp_path / "plots"))
     assert set(figs) == {"corr", "epipolar", "weights"}
