@@ -23,6 +23,7 @@ extra metrics (same JSON line):
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -73,7 +74,7 @@ def measure_roofline():
     (3,046-5,089 pairs/s measured on identical code across days): report
     throughput alongside the same-day roofline.
     """
-    n, chain = 4096, 32
+    n, chain = 4096, 64
     a = jnp.ones((n, n), jnp.bfloat16)
     b = jnp.ones((n, n), jnp.bfloat16) / n
 
@@ -86,16 +87,29 @@ def measure_roofline():
 
     x = run(a, b)
     float(np.asarray(x[0, 0]))  # compile + sync
-    t0 = time.perf_counter()
-    x = run(a, b)
-    float(np.asarray(x[0, 0]))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    x = run(run(a, b), b)
-    float(np.asarray(x[0, 0]))
-    t2 = time.perf_counter() - t0
-    dt = max(t2 - t1, 1e-9)  # marginal cost of one extra chain
-    return 2.0 * n**3 * chain / dt / 1e12
+
+    def once():
+        t0 = time.perf_counter()
+        x = run(a, b)
+        float(np.asarray(x[0, 0]))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x = run(run(a, b), b)
+        float(np.asarray(x[0, 0]))
+        t2 = time.perf_counter() - t0
+        return max(t2 - t1, 1e-9)  # marginal cost of one extra chain
+
+    # Tunnel RTT noise is tens of ms against a ~50 ms chain: a single
+    # marginal sample can be arbitrarily wrong (one run read 731 TFLOP/s,
+    # 3.7x the physical peak). Take the median of 5.
+    dt = float(np.median([once() for _ in range(5)]))
+    tflops = 2.0 * n**3 * chain / dt / 1e12
+    if tflops > 250.0:  # v5e bf16 peak is 197; anything above is noise
+        print(f"# roofline sample suspect ({tflops:.0f} TFLOP/s > peak); "
+              "re-sampling", file=sys.stderr)
+        dt = float(np.median([once() for _ in range(9)]))
+        tflops = 2.0 * n**3 * chain / dt / 1e12
+    return tflops
 
 
 def _cost_analysis_flops(lowered_compiled):

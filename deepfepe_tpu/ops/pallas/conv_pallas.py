@@ -14,19 +14,22 @@ HBM utilization — bandwidth-bound on traffic an ideal schedule doesn't
 have.
 
 Measured verdict (v5e, tools/bench_conv_kernel.py): XLA's conv emitter
-beats this kernel's 9-tap matmul FORWARD (6.7 vs 12.2 ms for the
-full-res 64->64 conv — the 64-channel matmuls run the MXU at 25% and
-the halo DMA adds (th+2)/th amplification), and the backward kernel
-does not yet compile on the axon remote compiler (tpu_compile_helper
-exits 1 without diagnostics at full-res shapes). The production SP path
-therefore routes the RESTRUCTURED XLA impl (conv3x3_affine_relu_ref via
-frontend/sp_pallas.py, CONV_IMPL='xla'); what actually recovered the
-round-3 joint-step regression was batching both frames into one B=8
-encoder pass — XLA picks a ~3x-worse conv strategy for B=4 full-res
-chains (93.8 ms for two B=4 encoder fwd+bwd chains vs 31.6 ms for one
-B=8). The pallas path stays selectable (DEEPFEPE_SP_CONV_IMPL=pallas /
-backend='pallas') for future Mosaic work; its interpret-mode semantics
-are exact (tests/test_conv_pallas.py).
+wins. Forward: 6.6 vs 12.4 ms for the full-res 64->64 conv (the
+64-channel matmuls run the MXU at 25% and the halo fetch adds
+(th+2)/th read amplification); fwd+bwd: 21.4 vs 40.8 ms (conv1),
+5.1 vs 10.2 ms (down1). Two real Mosaic findings from getting it to
+compile at all: bf16 compare/select crashes this Mosaic version's
+remote compiler (masks must compare in f32 — see _bwd_kernel), and
+row-tiles need th*wc <= ~5k fwd / ~2.5k bwd or the compiler exits 1 on
+VMEM pressure. The production SP path therefore routes the RESTRUCTURED
+XLA impl (conv3x3_affine_relu_ref via frontend/sp_pallas.py,
+CONV_IMPL='xla'); what actually recovered the round-3 joint-step
+regression was batching both frames into one B=8 encoder pass — XLA
+picks a ~3x-worse conv strategy for B=4 full-res chains (93.8 ms for
+two B=4 encoder fwd+bwd chains vs 31.6 ms for one B=8). The pallas path
+stays selectable (DEEPFEPE_SP_CONV_IMPL=pallas / backend='pallas') for
+future Mosaic versions; its interpret-mode semantics are exact
+(tests/test_conv_pallas.py).
 
 This kernel computes y = relu(conv3x3_same(x, W) * scale + bias) one
 row-tile at a time (TH output rows x the full padded width), with the
@@ -190,8 +193,10 @@ def _bwd_kernel(xa_ref, xb_ref, dya_ref, dyb_ref, ya_ref, yb_ref,
     y_scr[0:th] = ya_ref[...]
     y_scr[th:th + 2] = yb_ref[...]
     # dz = dL/d(conv out) = dy * relu'(y) * scale, on the full halo tile.
+    # NOTE: the compare must run in f32 — bf16 compare/select crashes
+    # this Mosaic version's remote compiler (bisected, tools-level probe).
     for lo, hi, ref in ((0, th, dya_ref), (th, th + 2, dyb_ref)):
-        mask = (y_scr[lo:hi] > 0).astype(jnp.float32)
+        mask = (y_scr[lo:hi].astype(jnp.float32) > 0).astype(jnp.float32)
         dz_scr[lo:hi] = (
             ref[...].astype(jnp.float32) * mask * s[None]
         ).astype(dz_scr.dtype)
