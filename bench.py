@@ -52,7 +52,9 @@ WARMUP = 3
 ITERS = 50
 REPEATS = 3
 
-JOINT_BATCH = 8
+# Throughput-optimal after the round-3 backward fixes (measured on v5e:
+# B=8 380, B=16 435, B=32 428 pairs/s) — B=8 saturated the OLD step.
+JOINT_BATCH = 16
 JOINT_HW = (240, 320)
 JOINT_N = 300
 
