@@ -310,8 +310,12 @@ def _bwd_pallas(need_dx, x, w, scale, bias, y, dy):
         ),
         scratch_shapes=[
             pltpu.VMEM((TH + 2, Wc + 2, Cin), x.dtype),
-            pltpu.VMEM((TH + 2, Wc + 2, C), jnp.float32
-                       if dy.dtype == jnp.float32 else dy.dtype),
+            # dz is held in dy.dtype (bf16 on the production path): the
+            # wgrad/dgrad contractions take dz as a matmul OPERAND, which
+            # is the same operand precision XLA's conv backward uses for
+            # bf16 activations (accumulation stays f32 either way). An f32
+            # dz scratch would double this block's VMEM and push TH down.
+            pltpu.VMEM((TH + 2, Wc + 2, C), dy.dtype),
             pltpu.VMEM((TH + 2, Wc + 2, C), y.dtype),
         ],
         interpret=_interpret(),
@@ -373,5 +377,10 @@ def conv3x3_affine_relu(x, w, scale, bias, *, need_dx: bool = True,
     if backend == "auto":
         backend = "xla" if _interpret() else "pallas"
     if backend == "xla":
+        # Honor need_dx here too so both backends have identical gradient
+        # semantics (zero dx when the caller declares it unused) — a
+        # silent backend-dependent dx was an advisor-flagged hazard.
+        if not need_dx:
+            x = lax.stop_gradient(x)
         return conv3x3_affine_relu_ref(x, w, scale, bias)
     return _fused(need_dx, x, w, scale, bias)
