@@ -11,7 +11,10 @@ from .bundle_adjustment import (
 )
 from .distributed import (
     make_distributed_ba_step,
+    make_distributed_pose_graph_step,
     make_distributed_sqrt_ba_step,
+    optimize_pose_graph_two_stage_distributed,
+    pad_pose_graph_edges,
     shard_ba_inputs,
 )
 from .sqrt_ba import optimize_sqrt_ba, sqrt_ba_step

@@ -112,6 +112,135 @@ def shard_ba_inputs(mesh: Mesh, points, obs, vis):
     )
 
 
+def make_distributed_pose_graph_step(
+    mesh: Mesh, damping: float = 1e-6, fix_first: bool = True,
+    huber_delta: float | None = None,
+):
+    """Edge-sharded pose-graph Gauss-Newton step.
+
+    The edge set is the scalable axis of a pose graph (keyframe count
+    stays modest; loop-closure / skip edges grow superlinearly). Each
+    device holds an edge shard, computes its residuals + Jacobian blocks
+    and partial normal equations, and the [6N, 6N] camera system is
+    summed with one psum over the mesh's data axis — same math as
+    pose_graph.gauss_newton_step (parity-tested), same collective
+    pattern as the Schur BA above.
+
+    Inputs: poses [N,4,4] replicated; edges [E,2], measurements [E,4,4],
+    weights [E,6] sharded on E over the data axis (E must divide by the
+    axis size — pad with zero-weight (0,0) self-edges, which contribute
+    exactly nothing). `dof_mask` [6] (se(3) order (v, w)) freezes update
+    DoF for the two-stage rotation/translation split.
+    """
+
+    def step(poses, edges, measurements, weights, dof_mask):
+        N = poses.shape[0]
+
+        def shard_fn(poses, edges_l, meas_l, w_l):
+            from .pose_graph import _apply_delta, edge_residuals
+
+            w = w_l
+            if huber_delta is not None:
+                r_now = edge_residuals(poses, edges_l, meas_l)
+                rnorm = jnp.linalg.norm(r_now, axis=-1)
+                w = w * jnp.minimum(
+                    1.0, huber_delta / (rnorm + 1e-12)
+                )[:, None]
+            sqrt_w = jnp.sqrt(w)
+
+            def residual_of_delta(delta):
+                p = _apply_delta(poses, delta.reshape(N, 6))
+                r = edge_residuals(p, edges_l, meas_l)
+                return (r * sqrt_w).ravel()
+
+            delta0 = jnp.zeros(N * 6, poses.dtype)
+            r0 = residual_of_delta(delta0)
+            J = jax.jacfwd(residual_of_delta)(delta0)  # [El*6, N*6]
+            H = jax.lax.psum(J.T @ J, DATA_AXIS)
+            g = jax.lax.psum(J.T @ r0, DATA_AXIS)
+            cost = jax.lax.psum(jnp.sum(r0 * r0), DATA_AXIS)
+
+            mask = jnp.ones(N * 6, dtype=bool)
+            if fix_first:
+                mask = mask & (jnp.arange(N * 6) >= 6)
+            mask = mask & jnp.tile(dof_mask.astype(bool), N)
+            H = H * mask[:, None] * mask[None, :] + jnp.diag(
+                jnp.where(mask, 0.0, 1.0)
+            )
+            g = g * mask
+            H = H + damping * jnp.eye(N * 6, dtype=H.dtype)
+            delta = -jnp.linalg.solve(H, g)
+            new_poses = _apply_delta(poses, delta.reshape(N, 6))
+            return new_poses, cost
+
+        fn = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            # The solve consumes psum-reduced (replicated) values; the
+            # checker can't prove that through jnp.linalg.solve.
+            check_vma=False,
+        )
+        return fn(poses, edges, measurements, weights)
+
+    return jax.jit(step)
+
+
+def pad_pose_graph_edges(edges, measurements, weights, multiple: int):
+    """Pad the edge axis to a multiple with zero-weight (0,0) identity
+    self-edges (residual == 0 and weight == 0: exact no-ops)."""
+    E = edges.shape[0]
+    En = -(-E // multiple) * multiple
+    if En == E:
+        return edges, measurements, weights
+    pad = En - E
+    edges_p = jnp.concatenate(
+        [edges, jnp.zeros((pad, 2), edges.dtype)], axis=0
+    )
+    meas_p = jnp.concatenate(
+        [measurements,
+         jnp.broadcast_to(jnp.eye(4, dtype=measurements.dtype),
+                          (pad, 4, 4))], axis=0
+    )
+    w6 = weights[:, None] * jnp.ones((1, 6), weights.dtype) \
+        if weights.ndim == 1 else weights
+    w_p = jnp.concatenate(
+        [w6, jnp.zeros((pad, 6), w6.dtype)], axis=0
+    )
+    return edges_p, meas_p, w_p
+
+
+def optimize_pose_graph_two_stage_distributed(
+    mesh: Mesh, graph, rot_iters: int = 10, trans_iters: int = 10,
+    damping: float = 1e-6, huber_delta: float | None = None,
+):
+    """Two-stage (rotation averaging -> frozen-R translation) pose-graph
+    solve with edge-sharded GN steps — the distributed flavor of
+    pose_graph.optimize_pose_graph_two_stage. Returns (poses, costs)."""
+    axis = mesh.shape[DATA_AXIS]
+    w = graph.weights
+    w6 = w[:, None] * jnp.ones((1, 6), w.dtype) if w.ndim == 1 else w
+    edges, meas, w6 = pad_pose_graph_edges(
+        graph.edges, graph.measurements, w6, axis
+    )
+    step = make_distributed_pose_graph_step(
+        mesh, damping=damping, huber_delta=huber_delta
+    )
+    rot_only = jnp.asarray([0.0, 0, 0, 1, 1, 1], w6.dtype)
+    poses = graph.poses
+    costs = []
+    for _ in range(rot_iters):
+        poses, c = step(poses, edges, meas, w6 * rot_only,
+                        jnp.asarray([0.0, 0, 0, 1, 1, 1]))
+        costs.append(c)
+    for _ in range(trans_iters):
+        poses, c = step(poses, edges, meas, w6,
+                        jnp.asarray([1.0, 1, 1, 0, 0, 0]))
+        costs.append(c)
+    return poses, jnp.stack(costs)
+
+
 def make_distributed_sqrt_ba_step(
     mesh: Mesh, damping: float = 1e-4, fix_cameras: int = 1
 ):

@@ -36,6 +36,7 @@ class FrontendParams:
         conf_thresh: float = 0.015,
         nn_thresh: float = 1.0,
         conv_backend: str = "auto",
+        remat: str = "none",
     ):
         self.out_num_points = out_num_points
         self.patch_size = patch_size
@@ -43,6 +44,9 @@ class FrontendParams:
         self.conf_thresh = conf_thresh
         self.nn_thresh = nn_thresh
         self.conv_backend = conv_backend
+        # 'block' reruns each encoder double-conv in the backward
+        # (jax.checkpoint) instead of saving full-res activations.
+        self.remat = remat
 
 
 def _use_fused_convs(fp: FrontendParams) -> bool:
@@ -60,10 +64,17 @@ def run_superpoint(
     net: SuperPointNet, params, images: jnp.ndarray, fp: FrontendParams
 ) -> Keypoints:
     """images: [B, H, W] grayscale in [0,1] -> Keypoints with descriptors."""
+    remat = getattr(fp, "remat", "none")
     if _use_fused_convs(fp):
         from .sp_pallas import superpoint_forward_fused
 
-        outs = superpoint_forward_fused(net, params, images[..., None])
+        outs = superpoint_forward_fused(
+            net, params, images[..., None], remat=remat,
+        )
+    elif remat == "full":
+        outs = jax.checkpoint(
+            lambda p, im: net.apply(p, im)
+        )(params, images[..., None])
     else:
         outs = net.apply(params, images[..., None])
     heatmap = flatten_detection(outs["semi"])

@@ -27,6 +27,7 @@ from typing import Dict
 import os
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..geometry.basic import safe_norm
@@ -78,20 +79,31 @@ def _conv1x1(x, conv_p, dtype):
 
 
 def gauss2_forward_fused(variables: Dict, x: jnp.ndarray,
-                         dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+                         dtype=jnp.bfloat16,
+                         remat: str = "none") -> Dict[str, jnp.ndarray]:
     """SuperPointNetGauss2.apply(variables, x) with fused convs.
 
     x: [B, H, W, 1]; returns {'semi' f32, 'desc' f32-normalized} —
-    same contract as the flax module in inference mode."""
+    same contract as the flax module in inference mode.
+
+    remat: 'none' | 'block' — 'block' wraps each encoder double-conv in
+    jax.checkpoint so its intermediate full-res activations are
+    recomputed in the backward instead of saved to HBM (the full-res
+    encoder backward is HBM-bandwidth-bound; see ROADMAP round-3/4)."""
     p, bs = variables["params"], variables["batch_stats"]
 
     def dc(block, x, first_need_dx=True):
-        bp, bsb = p[block], bs[block]
-        for i in (0, 1):
-            s, t = _bn_affine(bp[f"conv{i}"], bp[f"bn{i}"], bsb[f"bn{i}"])
-            x = _cbr(x, bp[f"conv{i}"], s, t, dtype,
-                     need_dx=(first_need_dx or i == 1))
-        return x
+        def body(bp, bsb, x):
+            for i in (0, 1):
+                s, t = _bn_affine(bp[f"conv{i}"], bp[f"bn{i}"],
+                                  bsb[f"bn{i}"])
+                x = _cbr(x, bp[f"conv{i}"], s, t, dtype,
+                         need_dx=(first_need_dx or i == 1))
+            return x
+
+        if remat == "block":
+            body = jax.checkpoint(body)
+        return body(p[block], bs[block], x)
 
     x = x.astype(dtype)
     y = dc("inc", x, first_need_dx=False)
@@ -145,9 +157,15 @@ def plain_forward_fused(variables: Dict, x: jnp.ndarray,
     return {"semi": semi, "desc": desc}
 
 
-def superpoint_forward_fused(net, variables, x) -> Dict[str, jnp.ndarray]:
+def superpoint_forward_fused(net, variables, x,
+                             remat: str = "none") -> Dict[str, jnp.ndarray]:
     """Dispatch on the net class; dtype follows the module's compute
     dtype (bf16 on the production path)."""
     if isinstance(net, SuperPointNetGauss2):
-        return gauss2_forward_fused(variables, x, dtype=net.dtype)
+        if remat == "full":
+            return jax.checkpoint(
+                lambda v, im: gauss2_forward_fused(v, im, dtype=net.dtype)
+            )(variables, x)
+        return gauss2_forward_fused(variables, x, dtype=net.dtype,
+                                    remat=remat)
     return plain_forward_fused(variables, x, dtype=net.dtype)

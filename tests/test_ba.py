@@ -342,6 +342,60 @@ def test_distributed_sqrt_ba_matches_single_device(rng):
     )
 
 
+def test_distributed_pose_graph_matches_single_device(rng):
+    """Edge-sharded GN step + two-stage solve == the single-device
+    pose_graph implementation on an 8-shard edge axis (incl. zero-weight
+    self-edge padding)."""
+    from deepfepe_tpu.ba.distributed import (
+        make_distributed_pose_graph_step,
+        optimize_pose_graph_two_stage_distributed,
+        pad_pose_graph_edges,
+    )
+
+    gt, rels = _make_trajectory(rng, 7)
+    noise = [np.asarray(se3_exp(jnp.asarray(
+        rng.randn(6).astype(np.float32) * 0.05))) for _ in rels]
+    rels_noisy = np.stack([n @ r for n, r in zip(noise, rels)])
+    T_0n = jnp.asarray((gt[-1] @ np.linalg.inv(gt[0])).astype(np.float32))
+    graph = ba.graph_from_odometry(
+        jnp.asarray(rels_noisy, jnp.float32),
+        loop_edges=jnp.asarray([[0, 6]]),
+        loop_measurements=T_0n[None],
+        loop_weight=5.0,
+    )  # 7 edges -> pads to 8
+    mesh = make_mesh(n_data=8)
+
+    # Single GN step parity (full 6-DoF mask).
+    ref_g, ref_cost = ba.gauss_newton_step(graph, damping=1e-6)
+    w6 = graph.weights[:, None] * jnp.ones((1, 6), jnp.float32)
+    edges, meas, w6p = pad_pose_graph_edges(
+        graph.edges, graph.measurements, w6, 8
+    )
+    step = make_distributed_pose_graph_step(mesh, damping=1e-6)
+    poses_d, cost_d = step(graph.poses, edges, meas, w6p,
+                           jnp.ones(6))
+    np.testing.assert_allclose(
+        np.asarray(poses_d), np.asarray(ref_g.poses), atol=2e-5
+    )
+    # Single-device reports the mean weighted r^2; distributed the sum.
+    np.testing.assert_allclose(
+        float(cost_d),
+        float(ref_cost) * graph.edges.shape[0] * 6, rtol=1e-5
+    )
+
+    # Two-stage solve parity.
+    ref2, _ = ba.optimize_pose_graph_two_stage(
+        graph, rot_iters=4, trans_iters=4, damping=1e-6
+    )
+    poses2, costs = optimize_pose_graph_two_stage_distributed(
+        mesh, graph, rot_iters=4, trans_iters=4, damping=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses2), np.asarray(ref2.poses), atol=5e-5
+    )
+    assert float(costs[-1]) < float(costs[0])
+
+
 def test_two_view_sqrt_refinement_improves_pose(rng):
     """BA polish on a noisy two-view estimate cuts rotation AND translation
     angle error (batched over pairs)."""
