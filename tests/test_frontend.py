@@ -122,6 +122,42 @@ def test_mutual_nn_match_vs_numpy(rng):
     assert got == expected
 
 
+def test_mutual_nn_match_pallas_production_k(rng):
+    """Interpret-mode Pallas matcher == masked-XLA matcher at the SP
+    PRODUCTION fan-outs (out_num_points 1000-2000) with padding — the
+    shapes the joint pipeline actually routes to the kernel
+    (matching.PALLAS_MATCHER_MIN_K = 768). Mosaic lowering still needs
+    tools/check_pallas_hw.py on hardware; this pins the semantics."""
+
+    def pairs(m):
+        val = np.asarray(m.valid)
+        i1, i2 = np.asarray(m.idx1), np.asarray(m.idx2)
+        return {
+            (b, int(i1[b, k]), int(i2[b, k]))
+            for b in range(val.shape[0])
+            for k in range(val.shape[1]) if val[b, k]
+        }
+
+    for B, K, frac_valid in [(2, 1024, 1.0), (1, 1024, 0.7), (1, 2048, 0.8)]:
+        D = 256
+        base = rng.randn(B, K, D).astype(np.float32)
+        d1 = base / np.linalg.norm(base, axis=-1, keepdims=True)
+        d2p = base + 0.3 * rng.randn(B, K, D).astype(np.float32)
+        d2 = d2p / np.linalg.norm(d2p, axis=-1, keepdims=True)
+        v1 = jnp.asarray(rng.rand(B, K) < frac_valid)
+        v2 = jnp.asarray(rng.rand(B, K) < frac_valid)
+        a1, a2 = jnp.asarray(d1), jnp.asarray(d2)
+        ref = mutual_nn_match(a1, a2, v1, v2, nn_thresh=0.9, backend="xla")
+        got = mutual_nn_match(a1, a2, v1, v2, nn_thresh=0.9,
+                              backend="pallas")
+        assert pairs(ref) == pairs(got), (K, frac_valid)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(got.scores), axis=None),
+            np.sort(np.asarray(ref.scores), axis=None),
+            atol=1e-5,
+        )
+
+
 def test_full_frontend_pipeline_and_gradient(rng):
     net = SuperPointNet()
     imgs = jnp.asarray(rng.rand(2, 1, 64, 96).astype(np.float32))

@@ -151,8 +151,11 @@ def conv():
         np.asarray(conv3x3_affine_relu(x, w, sc, bi, backend="pallas"))
         - np.asarray(conv3x3_affine_relu_ref(x, w, sc, bi))
     ).max()
-    g_p = jax.jit(jax.grad(f_p, (1, 2, 3)))(x, w, sc, bi)
-    g_x = jax.jit(jax.grad(f_x, (1, 2, 3)))(x, w, sc, bi)
+    # Full backward on-chip incl. the input gradient (dx taps) — the
+    # backward kernel only began compiling on real TPU in round 3
+    # (f32-compare fix, commit 0b38e11); value+grad checked here since.
+    g_p = jax.jit(jax.grad(f_p, (0, 1, 2, 3)))(x, w, sc, bi)
+    g_x = jax.jit(jax.grad(f_x, (0, 1, 2, 3)))(x, w, sc, bi)
     gerr = max(
         float(np.abs(np.asarray(a) - np.asarray(b)).max()
               / (np.abs(np.asarray(b)).max() + 1e-9))
