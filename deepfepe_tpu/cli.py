@@ -876,6 +876,92 @@ def cmd_tables(args):
     return md
 
 
+# BASELINE.md targets (the reference's committed kitti-odom-eval outputs,
+# results/{deepF,deepFEPE}_kitti/{09,10}/result.txt:2-6).
+_BASELINE_TARGETS = {
+    "deepF": {
+        "09": {"trans_err_pct": 9.706, "rot_err_deg_per_100m": 0.889,
+               "ATE_m": 80.157, "RPE_m": 0.211, "RPE_deg": 0.051},
+        "10": {"trans_err_pct": 11.206, "rot_err_deg_per_100m": 1.546,
+               "ATE_m": 34.342, "RPE_m": 0.253, "RPE_deg": 0.362},
+    },
+    "deepFEPE": {
+        "09": {"trans_err_pct": 8.639, "rot_err_deg_per_100m": 0.664,
+               "ATE_m": 52.576, "RPE_m": 0.214, "RPE_deg": 0.054},
+        "10": {"trans_err_pct": 11.719, "rot_err_deg_per_100m": 0.945,
+               "ATE_m": 35.325, "RPE_m": 0.252, "RPE_deg": 0.212},
+    },
+}
+
+
+def cmd_baseline_gate(args):
+    """One-command BASELINE verdict (VERDICT r3 next-step #8): take
+    eval_good output dirs (the reference-schema npz dumps), run the VO
+    chain per sequence, and emit the BASELINE.md seq-09/10 comparison
+    table with pass/fail deltas — so the first session with real KITTI
+    dumps produces the SURVEY §6 verdict with zero plumbing.
+
+        cli baseline_gate 09=logs/eval09 10=logs/eval10 \\
+            --gt_dir <dir with 09.txt/10.txt> [--baseline deepF]
+
+    Each eval dir must contain `<exp>_<filename>` (default
+    DeepF_err_ratio.npz) with `relative_poses_body`; gt files are KITTI
+    12-col trajectories (the reference commits them under
+    datasets/kitti_gt_poses/). Pass = metric <= target * (1 + tol).
+    """
+    from .eval.kitti_odometry import evaluate_sequence, load_poses_txt
+    from .eval.vo import chain_relative_poses
+
+    targets_all = _BASELINE_TARGETS[args.baseline]
+    tol = args.tol
+    report = {"baseline": args.baseline, "tol": tol, "sequences": {},
+              "ok": True}
+    rows = []
+    metrics = ("trans_err_pct", "rot_err_deg_per_100m", "ATE_m",
+               "RPE_m", "RPE_deg")
+    for spec in args.seq_dirs:
+        seq, _, d = spec.partition("=")
+        if not d:
+            raise SystemExit(f"seq_dirs entries are seq=dir, got {spec!r}")
+        npz_path = Path(d) / f"{args.exp}_{args.filename}"
+        data = np.load(npz_path)
+        rels = data["relative_poses_body"]
+        est = chain_relative_poses(rels)
+        gt = load_poses_txt(str(Path(args.gt_dir) / f"{seq}.txt"))
+        n = min(len(gt), len(est))
+        lengths = (
+            tuple(float(x) for x in args.lengths.split(","))
+            if args.lengths else None
+        )
+        kw = {"lengths": lengths} if lengths else {}
+        res = evaluate_sequence(gt[:n], est[:n], **kw)
+        target = targets_all.get(seq, {})
+        seq_rep = {"measured": res, "target": target, "deltas": {},
+                   "pass": {}}
+        for m in metrics:
+            if m not in target or not np.isfinite(res[m]):
+                continue
+            delta = res[m] - target[m]
+            ok = res[m] <= target[m] * (1.0 + tol)
+            seq_rep["deltas"][m] = round(float(delta), 4)
+            seq_rep["pass"][m] = bool(ok)
+            report["ok"] &= ok
+            rows.append((seq, m, res[m], target[m], delta, ok))
+        report["sequences"][seq] = seq_rep
+
+    print(f"# BASELINE gate vs {args.baseline} "
+          f"(tol {tol:+.0%} relative)")
+    print("| seq | metric | ours | baseline | delta | verdict |")
+    print("|---|---|---|---|---|---|")
+    for seq, m, v, t, delta, ok in rows:
+        print(f"| {seq} | {m} | {v:.3f} | {t:.3f} | {delta:+.3f} | "
+              f"{'PASS' if ok else 'FAIL'} |")
+    print(json.dumps(report))
+    if args.strict and not report["ok"]:
+        raise SystemExit(1)
+    return report
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("deepfepe_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -960,6 +1046,27 @@ def main(argv=None):
     sp.add_argument("--latex", action="store_true")
     sp.add_argument("--plot", default="", help="save a bar-panel figure here")
     sp.set_defaults(fn=cmd_tables)
+    sp = sub.add_parser(
+        "baseline_gate",
+        help="BASELINE.md seq-09/10 verdict from eval_good output dirs",
+    )
+    sp.add_argument("seq_dirs", nargs="+",
+                    help="seq=dir pairs, e.g. 09=logs/eval09 10=logs/eval10")
+    sp.add_argument("--gt_dir", required=True,
+                    help="dir with <seq>.txt KITTI 12-col gt trajectories")
+    sp.add_argument("--baseline", default="deepF",
+                    choices=sorted(_BASELINE_TARGETS))
+    sp.add_argument("--exp", default="DeepF",
+                    help="npz prefix (exps.our_name)")
+    sp.add_argument("--filename", default="err_ratio.npz")
+    sp.add_argument("--tol", type=float, default=0.05,
+                    help="relative pass tolerance vs the baseline value")
+    sp.add_argument("--lengths", default="",
+                    help="comma list of segment lengths (default KITTI "
+                         "100..800 m)")
+    sp.add_argument("--strict", action="store_true",
+                    help="exit 1 if any metric fails the gate")
+    sp.set_defaults(fn=cmd_baseline_gate)
     sp = sub.add_parser("infer", help="two images -> relative pose JSON")
     sp.add_argument("img1")
     sp.add_argument("img2")

@@ -131,3 +131,43 @@ def test_step2_eval_vo_pose_graph(kitti_like_tree, tmp_path, monkeypatch):
     assert "Trans. err. (%)" in txt and "ATE (m)" in txt
     assert np.isfinite(report["pose_graph"]["trans_err_pct"])
     assert report["n_pairs"] == N_FRAMES - 1
+
+
+def test_step3_baseline_gate(kitti_like_tree, tmp_path, monkeypatch):
+    """The one-command BASELINE verdict (cli baseline_gate): eval npz ->
+    VO chain -> BASELINE.md comparison table with pass/fail deltas.
+    Rehearsed here on the synthetic stand-in tree so the first real-KITTI
+    session needs zero plumbing."""
+    from deepfepe_tpu.cli import main
+    from deepfepe_tpu.eval.vo import export_poses_kitti, rt_pad_np
+
+    cfg = _config(kitti_like_tree, tmp_path)
+    monkeypatch.chdir(tmp_path)
+    main(["eval_good", str(cfg), "gate_eval"])
+
+    # gt trajectory txt in the reference's kitti_gt_poses layout, named by
+    # the two-digit sequence id (the gate strips the cam suffix itself).
+    gt_dir = tmp_path / "gt_poses"
+    gt_dir.mkdir()
+    poses = np.load(kitti_like_tree / "09_02" / "poses.npy")
+    export_poses_kitti(rt_pad_np(poses), str(gt_dir / "09.txt"))
+
+    report = main([
+        "baseline_gate", "09=logs/gate_eval", "--gt_dir", str(gt_dir),
+        "--baseline", "deepF", "--lengths", "2.0,4.0",
+    ])
+    seq = report["sequences"]["09"]
+    assert set(seq["deltas"]) == {
+        "trans_err_pct", "rot_err_deg_per_100m", "ATE_m", "RPE_m",
+        "RPE_deg",
+    }
+    for m, v in seq["measured"].items():
+        assert np.isfinite(v), (m, v)
+    assert isinstance(report["ok"], bool)
+    # --strict exits non-zero iff the gate fails.
+    if not report["ok"]:
+        with pytest.raises(SystemExit):
+            main([
+                "baseline_gate", "09=logs/gate_eval", "--gt_dir",
+                str(gt_dir), "--lengths", "2.0,4.0", "--strict",
+            ])
