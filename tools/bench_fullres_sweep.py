@@ -109,6 +109,7 @@ def main():
     remats = ("none", "block", "full")
     for n_pairs in pairs_list:
         for remat in remats:
+            step = state = batch = None
             try:
                 step, state, batch = build_step(n_pairs, remat)
                 dt = time_step(step, state, batch)
@@ -123,7 +124,7 @@ def main():
                     "error": repr(e)[:300],
                 }), flush=True)
             finally:
-                del step, state, batch
+                step = state = batch = None
 
 
 if __name__ == "__main__":
