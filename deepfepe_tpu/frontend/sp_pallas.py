@@ -36,16 +36,25 @@ from .superpoint import SuperPointNetGauss2
 
 BN_EPS = 1e-5  # flax.linen.BatchNorm default (superpoint.py uses defaults)
 
-# Conv implementation for the large feature maps. Measured on the v5e
-# (tools/bench_conv_kernel.py, full-res shapes): XLA's conv emitter beats
-# the 9-tap Pallas matmul kernel on the isolated forward (6.7 vs 12.2 ms
-# for inc.conv1) — the joint-step win comes from the RESTRUCTURED graph
-# (bias-free convs + BN folded to one f32 affine + relu in one fused op,
-# instead of flax's conv+bias / BN / relu / cast chain), not from Mosaic.
-# 'pallas' remains selectable for experimentation.
+# Conv implementation for the large feature maps. Round-4 measured
+# hierarchy on the v5e (tools/bench_conv_formulations.py,
+# tools/profile_encoder_blocks.py, ROADMAP round-4 §full-res):
+#   'xla' (default): XLA's native conv schedule. The encoder is
+#     COMPUTE-bound at ~22-30% MXU (64-channel convs quarter-fill the
+#     128x128 systolic array), but every measured alternative loses
+#     in-graph:
+#   's2d': space-to-depth-by-2 [3,3,128,128] convs hit 97% MXU in
+#     ISOLATION (2.1x fwd / 2.3x bwd at the inc.conv1 shape, 2x padded
+#     FLOPs included) — but the [*,W,64]<->[*,W/2,128] reinterpretation
+#     is a real TPU layout shuffle in-graph, and the full encoder
+#     measures SLOWER (fwd+bwd 43-55 ms vs 34 ms XLA) in per-conv,
+#     per-block, and pinched-pool arrangements alike. Kept selectable
+#     for future XLA layout-assignment improvements.
+#   'pallas': the 9-tap Mosaic kernel (11% MXU; Mosaic strided-slice
+#     copies dominate and this Mosaic build rejects manual HBM DMA).
 CONV_IMPL = os.environ.get("DEEPFEPE_SP_CONV_IMPL", "xla")
 
-# Below this pixel count the kernel grid overhead dominates — always XLA.
+# Below this pixel count the restructuring overhead dominates — always XLA.
 MIN_PX_PALLAS = 16384
 
 
@@ -54,8 +63,12 @@ def _pool(y):
 
 
 def _backend(x):
-    if CONV_IMPL == "pallas" and x.shape[1] * x.shape[2] >= MIN_PX_PALLAS:
+    big = x.shape[1] * x.shape[2] >= MIN_PX_PALLAS
+    if CONV_IMPL == "pallas" and big:
         return "auto"
+    if (CONV_IMPL == "s2d" and big and x.shape[-1] == 64
+            and x.shape[2] % 2 == 0):
+        return "s2d"
     return "xla"
 
 

@@ -348,6 +348,108 @@ def _fused_bwd(need_dx, res, dy):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _pack_w_s2d(w, dtype):
+    """[3,3,Cin,C] -> [3,3,2Cin,2C] space-to-depth-by-2 conv kernel.
+
+    Entry [kh, kw, dx*Cin+ch, j*C+co] = W[kh, kx, ch, co] with
+    kx = 2*kw - 1 + dx - j (zero outside [0, 2]). Built with traced jnp
+    ops so autodiff routes dW_s2d back to the true dW exactly (the pack
+    is linear; padded blocks are structural zeros)."""
+    Cin, C = w.shape[-2], w.shape[-1]
+    out = jnp.zeros((3, 3, 2 * Cin, 2 * C), dtype)
+    wd = w.astype(dtype)
+    for kw_ in range(3):
+        for dx in range(2):
+            for j in range(2):
+                kx = 2 * kw_ - 1 + dx - j
+                if 0 <= kx <= 2:
+                    out = out.at[
+                        :, kw_, dx * Cin:(dx + 1) * Cin,
+                        j * C:(j + 1) * C].set(wd[:, kx])
+    return out
+
+
+def conv3x3_affine_relu_s2d_pre(xs, w, scale, bias):
+    """s2d-native fused conv: xs is ALREADY in space-to-depth-by-2 form
+    [B, H, W/2, 2*Cin]; returns [B, H, W/2, 2*C]. Used to keep whole
+    encoder blocks in s2d layout — measured (round 4): the [*,W,64] <->
+    [*,W/2,128] reshape is a real TPU layout shuffle (64-lane tensors
+    are half-padded), so converting per-conv gives back the MXU win;
+    converting once per block (or never) keeps it."""
+    ws = _pack_w_s2d(w, xs.dtype)
+    y = lax.conv_general_dilated(
+        xs, ws, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    s2 = jnp.tile(scale.astype(jnp.float32), 2)
+    t2 = jnp.tile(bias.astype(jnp.float32), 2)
+    y = jnp.maximum(y.astype(jnp.float32) * s2 + t2, 0.0)
+    return y.astype(xs.dtype)
+
+
+def max_pool_2x2_s2d(ys):
+    """2x2/2 max pool on an s2d-by-2 tensor, s2d in -> s2d out.
+
+    ys [B, H, G, 2C] (G = W/2); returns [B, H/2, G/2, 2C] — the s2d form
+    of max_pool(y, 2x2). Output group g', slot j, channel ch pools input
+    rows {2h', 2h'+1} x input group 2g'+j's two slots."""
+    B, H, G, L = ys.shape
+    C = L // 2
+    z = ys.reshape(B, H // 2, 2, G // 2, 2, 2, C)
+    #                    h'  row∨   g'  j  dx∨
+    z = jnp.max(z, axis=(2, 5))          # pool rows + in-group px
+    return z.reshape(B, H // 2, G // 2, 2 * C)
+
+
+def to_s2d(x):
+    """[B, H, W, C] -> [B, H, W/2, 2C] (lane-linear reinterpretation)."""
+    B, H, Wd, C = x.shape
+    return x.reshape(B, H, Wd // 2, 2 * C)
+
+
+def from_s2d(xs):
+    """[B, H, G, 2C] -> [B, H, 2G, C]."""
+    B, H, G, L = xs.shape
+    return xs.reshape(B, H, 2 * G, L // 2)
+
+
+def conv3x3_affine_relu_s2d(x, w, scale, bias):
+    """relu(conv3x3_same(x, w) * scale + bias) via a space-to-depth-by-2
+    reinterpretation: [B,H,W,C] -> [B,H,W/2,2C] is a FREE reshape in NHWC
+    (lane index dx*C+ch maps linearly), and the 3x3 conv becomes a dense
+    [3,3,2C,2C] conv at half width.
+
+    Why: XLA's conv emitter runs 64-channel full-res convs at ~22% MXU
+    (K=N=64 quarter-fills the 128x128 systolic array) but the 128-channel
+    s2d form at ~97% — measured 2.1x fwd / 2.3x bwd at the gauss2
+    inc.conv1 production shape (8x376x1240x64) DESPITE the 2x padded
+    FLOPs from the structural zero blocks (tools/bench_conv_formulations
+    + tools/profile_encoder_blocks.py, round 4). Requires even W.
+    Value-exact up to bf16 accumulation-order differences.
+
+    CAVEAT (measured, ROADMAP round-4): the isolated win does NOT
+    transfer into the full encoder graph — the [*,W,64] <-> [*,W/2,128]
+    reinterpretation is a real layout shuffle on TPU (64-lane tensors
+    are half-padded), and with convs embedded between pools/neighbors
+    the s2d arrangements measure SLOWER end-to-end (encoder fwd+bwd
+    43-55 ms vs 34 ms native XLA). Hence this path is opt-in
+    (DEEPFEPE_SP_CONV_IMPL=s2d), not the production default.
+    """
+    B, H, Wd, Cin = x.shape
+    C = w.shape[-1]
+    assert Wd % 2 == 0, "s2d conv path requires even width"
+    xs = x.reshape(B, H, Wd // 2, 2 * Cin)
+    ws = _pack_w_s2d(w, x.dtype)
+    y = lax.conv_general_dilated(
+        xs, ws, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    s2 = jnp.tile(scale.astype(jnp.float32), 2)
+    t2 = jnp.tile(bias.astype(jnp.float32), 2)
+    y = jnp.maximum(y.astype(jnp.float32) * s2 + t2, 0.0)
+    return y.astype(x.dtype).reshape(B, H, Wd, C)
+
+
 def conv3x3_affine_relu_ref(x, w, scale, bias):
     """XLA reference: relu(conv3x3_same(x, w) * scale + bias).
 
@@ -370,12 +472,20 @@ def conv3x3_affine_relu(x, w, scale, bias, *, need_dx: bool = True,
 
     x [B,H,W,Cin], w [3,3,Cin,C], scale/bias [C] (f32). Returns
     [B,H,W,C] in x.dtype. backend: 'auto' (pallas on TPU, XLA elsewhere),
-    'pallas' (interpret mode off-TPU — tests), or 'xla'.
+    'pallas' (interpret mode off-TPU — tests), 'xla', or 's2d' (the
+    space-to-depth-by-2 XLA form — the fast path for 64-channel full-res
+    convs, ~2x fwd+bwd; falls back to 'xla' when W is odd).
     need_dx=False skips the input-gradient taps in the backward kernel
     (the image input of the first encoder conv needs no dx).
     """
     if backend == "auto":
         backend = "xla" if _interpret() else "pallas"
+    if backend == "s2d":
+        if x.shape[2] % 2 == 0:
+            if not need_dx:
+                x = lax.stop_gradient(x)
+            return conv3x3_affine_relu_s2d(x, w, scale, bias)
+        backend = "xla"
     if backend == "xla":
         # Honor need_dx here too so both backends have identical gradient
         # semantics (zero dx when the caller declares it unused) — a

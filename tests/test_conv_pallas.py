@@ -53,6 +53,53 @@ def test_kernel_value_and_grad_parity(shape):
         assert rel < 1e-4, (name, rel)
 
 
+@pytest.mark.parametrize(
+    "shape",
+    [(1, 16, 32, 64, 64), (2, 10, 20, 64, 128), (1, 8, 14, 4, 8)],
+    ids=["c64", "c64to128", "tiny_even"],
+)
+def test_s2d_value_and_grad_parity(shape):
+    """Space-to-depth-by-2 conv == reference conv (values + all grads).
+
+    The s2d path is the round-4 production route for 64-channel
+    full-res convs (97% vs 22% MXU on the v5e); the pack is linear so
+    autodiff must route dW_s2d back to the exact dW."""
+    B, H, W, Cin, C = shape
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    x = jax.random.normal(ks[1], (B, H, W, Cin), jnp.float32)
+    w = jax.random.normal(ks[2], (3, 3, Cin, C), jnp.float32) * 0.1
+    s = jax.random.normal(ks[3], (C,)) * 0.5 + 1.0
+    t = jax.random.normal(ks[4], (C,)) * 0.1
+
+    y1 = conv3x3_affine_relu(x, w, s, t, backend="s2d")
+    y0 = conv3x3_affine_relu_ref(x, w, s, t)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=5e-5)
+
+    cot = jax.random.normal(ks[1], (B, H, W, C))
+    g1 = jax.grad(
+        lambda *a: jnp.sum(conv3x3_affine_relu(*a, backend="s2d") * cot),
+        (0, 1, 2, 3),
+    )(x, w, s, t)
+    g0 = jax.grad(
+        lambda *a: jnp.sum(conv3x3_affine_relu_ref(*a) * cot), (0, 1, 2, 3)
+    )(x, w, s, t)
+    for name, a, b in zip("dx dw ds dt".split(), g1, g0):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-4, (name, rel)
+
+
+def test_s2d_odd_width_falls_back():
+    """Odd width cannot s2d; the dispatcher must fall back to XLA."""
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    x = jax.random.normal(ks[1], (1, 8, 15, 64), jnp.float32)
+    w = jax.random.normal(ks[2], (3, 3, 64, 64), jnp.float32) * 0.1
+    s = jnp.ones((64,))
+    t = jnp.zeros((64,))
+    y1 = conv3x3_affine_relu(x, w, s, t, backend="s2d")
+    y0 = conv3x3_affine_relu_ref(x, w, s, t)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=5e-5)
+
+
 def test_kernel_need_dx_false_zero_input_grad():
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     x = jax.random.normal(ks[0], (1, 12, 20, 1), jnp.float32)
