@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import optax
 from flax import serialization
 
-from deepfepe_tpu.frontend import SuperPointNet
+from deepfepe_tpu.frontend import SuperPointNet, SuperPointNetGauss2
 from deepfepe_tpu.frontend.train_sp import (
     CornerTextures,
     make_warped_joint_train_step,
@@ -61,6 +61,8 @@ def make_batch(ds, rng, batch_size):
 
 
 def eval_frontend(net, params, n_corners, seed=5):
+    # (works for SuperPointNet and SuperPointNetGauss2 alike — both
+    # return {'semi','desc'} through run_superpoint)
     """Match-quality eval on corner-rich pairs (train_sp_full.final_eval
     protocol, on the joint data domain)."""
     from deepfepe_tpu.data.synthetic_images import SyntheticImagePairs
@@ -85,7 +87,8 @@ def eval_frontend(net, params, n_corners, seed=5):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sp", required=True)
+    ap.add_argument("--sp", default="",
+                    help="pretrained msgpack ('' = from-scratch init)")
     ap.add_argument("--out", default="experiments/sp_corners")
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=32)
@@ -94,6 +97,12 @@ def main():
     ap.add_argument("--image", type=int, nargs=2, default=[120, 160])
     ap.add_argument("--n_blobs", type=int, default=40)
     ap.add_argument("--n_rects", type=int, default=14)
+    ap.add_argument("--gauss2", action="store_true",
+                    help="train SuperPointNetGauss2 (BN variant, the "
+                         "reference production net) instead of the plain "
+                         "SuperPointNet; BN runs on running stats "
+                         "(inference-mode fine-tune), from-scratch init "
+                         "when --sp is ''")
     args = ap.parse_args()
     global IMG
     IMG = tuple(args.image)
@@ -105,14 +114,15 @@ def main():
         mf.write(json.dumps(rec) + "\n")
         mf.flush()
 
-    net = SuperPointNet()
+    net = SuperPointNetGauss2() if args.gauss2 else SuperPointNet()
     ds = CornerTextures(image_size=IMG, n_blobs=args.n_blobs,
                         n_rects=args.n_rects, seed=0)
     rng = np.random.RandomState(1)
     b = make_batch(ds, rng, args.batch)
     params = net.init(jax.random.PRNGKey(0), jnp.asarray(b["image"])[..., None])
-    with open(args.sp, "rb") as f:
-        params = serialization.from_bytes(params, f.read())
+    if args.sp:
+        with open(args.sp, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
 
     log({"stage": "eval_before",
          **{k: round(float(v), 4)
@@ -131,7 +141,9 @@ def main():
                  "det_ce": round(float(np.asarray(m["det"])), 5),
                  "elapsed_s": round(time.time() - t0, 1)})
 
-    path = os.path.join(args.out, "sp_corners.msgpack")
+    path = os.path.join(
+        args.out, "sp_corners_gauss2.msgpack" if args.gauss2
+        else "sp_corners.msgpack")
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))
     log({"stage": "saved", "path": path})

@@ -33,7 +33,12 @@ import optax
 from flax import serialization
 
 from deepfepe_tpu.data.synthetic_images import SyntheticImagePairs
-from deepfepe_tpu.frontend import FrontendParams, SuperPointNet, get_matches_from_sp
+from deepfepe_tpu.frontend import (
+    FrontendParams,
+    SuperPointNet,
+    SuperPointNetGauss2,
+    get_matches_from_sp,
+)
 from deepfepe_tpu.models import DeepFNet
 from deepfepe_tpu.train import Config
 from deepfepe_tpu.train.joint import (
@@ -87,7 +92,8 @@ def evaluate(deepf_net, sp_net, fp, cfg, state, ds_eval, batches, key):
 def main():
     global IMG, NPTS
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sp", required=True, help="pretrained SP msgpack")
+    ap.add_argument("--sp", default="", help="pretrained SP msgpack "
+                    "('' = random init)")
     ap.add_argument("--deepf", default="", help="optional DeepF msgpack")
     ap.add_argument("--out", default="experiments/joint_full")
     ap.add_argument("--stage1_iters", type=int, default=2000)
@@ -125,6 +131,15 @@ def main():
                          "matches (see ROADMAP joint-fine-tune study)")
     ap.add_argument("--balance_q", type=float, default=1.0)
     ap.add_argument("--balance_t", type=float, default=1.0)
+    ap.add_argument("--gauss2", action="store_true",
+                    help="SuperPointNetGauss2 bf16 frontend (the "
+                         "reference production net; BN on running stats)")
+    ap.add_argument("--clamp_curriculum", action="store_true",
+                    help="use the reference qt-clamp curriculum "
+                         "(Train_model_pipeline.py:467-489 via "
+                         "config.qt_clamps) instead of fixed (0.1, 0.5)")
+    ap.add_argument("--clamp_iter1", type=int, default=3000)
+    ap.add_argument("--clamp_iter2", type=int, default=6000)
     args = ap.parse_args()
     IMG = tuple(args.image)
     NPTS = args.npts
@@ -140,6 +155,8 @@ def main():
     cfg.model.depth = 5
     cfg.model.if_quality = True
     cfg.model.clamp_at = args.clamp_at
+    cfg.training.clamp_iter1 = args.clamp_iter1
+    cfg.training.clamp_iter2 = args.clamp_iter2
     cfg.data.good_num = NPTS
     cfg.data.batch_size = args.batch
     if args.qt:
@@ -154,7 +171,8 @@ def main():
     ds = SyntheticImagePairs(**mk, seed=0)
     ds_eval = SyntheticImagePairs(**mk, seed=777)
 
-    sp_net = SuperPointNet()
+    sp_net = SuperPointNetGauss2(dtype=jnp.bfloat16) if args.gauss2 \
+        else SuperPointNet()
     deepf_net = DeepFNet(
         depth=5, image_size=IMG, if_quality=True, mlp_dtype=jnp.bfloat16
     )
@@ -165,8 +183,9 @@ def main():
     sp_params = sp_net.init(
         jax.random.PRNGKey(0), batch["imgs_grey"][:, 0][..., None]
     )
-    with open(args.sp, "rb") as f:
-        sp_params = serialization.from_bytes(sp_params, f.read())
+    if args.sp:
+        with open(args.sp, "rb") as f:
+            sp_params = serialization.from_bytes(sp_params, f.read())
     sp_out = get_matches_from_sp(
         sp_net, sp_params, (batch["imgs_grey"][:, 0], batch["imgs_grey"][:, 1]),
         fp,
@@ -197,6 +216,7 @@ def main():
                 f.write(serialization.to_bytes(jax.device_get(params)))
 
     key = jax.random.PRNGKey(3)
+    global_it = 0
     log({"stage": "eval_init",
          **evaluate(deepf_net, sp_net, fp, cfg, state, ds_eval,
                     args.eval_batches, key)})
@@ -234,12 +254,25 @@ def main():
         for w in workers:
             w.start()
         t0 = time.time()
+        from deepfepe_tpu.train.config import qt_clamps
+
+        skipped = 0
         for it in range(iters):
             b = {k: jnp.asarray(v) for k, v in q.get().items()}
-            state, m = step(state, b, 0.1, 0.5)
+            if args.clamp_curriculum:
+                qc, tc = qt_clamps(cfg.training, global_it)
+            else:
+                qc, tc = 0.1, 0.5
+            state, m = step(state, b, qc, tc)
+            global_it += 1
+            skipped += int(float(np.asarray(m.get("skipped_update", 0.0))))
             if it % 100 == 0 or it == iters - 1:
                 log({"stage": stage, "iter": it,
                      "loss": round(float(np.asarray(m["loss"])), 6),
+                     "q_clamp": qc, "t_clamp": tc,
+                     "num_matches": round(float(np.asarray(
+                         m.get("num_matches", -1.0))), 1),
+                     "skipped_total": skipped,
                      "g_deepf": round(float(np.asarray(m["g_deepf_norm"])), 3),
                      "g_sp": round(float(np.asarray(m["g_sp_norm"])), 3),
                      "elapsed_s": round(time.time() - t0, 1)})
