@@ -50,7 +50,7 @@ N_POINTS = 1000
 DEPTH = 5
 WARMUP = 3
 ITERS = 50
-REPEATS = 3
+REPEATS = 5
 
 # Throughput-optimal after the round-3 backward fixes (measured on v5e:
 # B=8 380, B=16 435, B=32 428 pairs/s) — B=8 saturated the OLD step.
@@ -280,13 +280,19 @@ def bench_solver_step():
         t_short = run(iters)
         t_long = run(2 * iters)
         dts.append(max(t_long - t_short, 1e-9) / iters)
-    dt = min(dts)
+    # Median of k=5 marginal samples + within-session spread (VERDICT r3
+    # next-step #3): the 3.0k<->4.9k pairs/s swing across chip-days was
+    # unexplained; the spread field separates within-session tunnel noise
+    # from genuine cross-day device-state variance. MFU stays the
+    # cross-round comparison metric.
+    dt = float(np.median(dts))
+    spread = (max(dts) - min(dts)) / dt if len(dts) > 1 else 0.0
     mfu = (
         step_flops / dt / (PEAK_BF16_TFLOPS * 1e12)
         if step_flops
         else None
     )
-    return BATCH / dt, mfu, step_flops
+    return BATCH / dt, mfu, step_flops, spread
 
 
 def bench_joint_step():
@@ -486,7 +492,8 @@ def main():
         note(f"roofline unavailable: {e!r}")
         roofline = None
     note(f"bench: roofline {roofline}; solver step...")
-    pairs_per_s, solver_mfu, solver_flops = bench_solver_step()
+    pairs_per_s, solver_mfu, solver_flops, solver_spread = \
+        bench_solver_step()
     note(f"bench: solver {pairs_per_s:.1f} pairs/s; reference baseline...")
     ref_pairs_per_s, ref_kind = measure_reference_baseline()
     note(f"bench: reference {ref_pairs_per_s:.2f} ({ref_kind}); joint step...")
@@ -521,6 +528,7 @@ def main():
                         None if solver_flops is None else solver_flops / 1e9,
                         1,
                     ),
+                    "solver_spread": rnd(solver_spread, 3),
                 },
             }
         )

@@ -164,6 +164,43 @@ def conv():
     return max(float(err), gerr)
 
 
+def conv_s2d():
+    """Space-to-depth-by-2 conv backend (value + all grads on-chip)."""
+    from deepfepe_tpu.ops.pallas.conv_pallas import (
+        conv3x3_affine_relu,
+        conv3x3_affine_relu_ref,
+    )
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 48, 96, 64).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    w = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.1)
+    sc = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    bi = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.randn(2, 48, 96, 64).astype(np.float32))
+
+    def loss(fn):
+        return lambda x, w, sc, bi: jnp.sum(
+            fn(x, w, sc, bi).astype(jnp.float32) * cot
+        )
+
+    f_s = loss(lambda *a: conv3x3_affine_relu(*a, backend="s2d"))
+    f_x = loss(conv3x3_affine_relu_ref)
+    err = np.abs(
+        np.asarray(conv3x3_affine_relu(x, w, sc, bi, backend="s2d"))
+        - np.asarray(conv3x3_affine_relu_ref(x, w, sc, bi))
+    ).max()
+    g_s = jax.jit(jax.grad(f_s, (0, 1, 2, 3)))(x, w, sc, bi)
+    g_x = jax.jit(jax.grad(f_x, (0, 1, 2, 3)))(x, w, sc, bi)
+    gerr = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()
+              / (np.abs(np.asarray(b)).max() + 1e-9))
+        for a, b in zip(g_s, g_x)
+    )
+    return max(float(err), gerr)
+
+
 def main():
     print(f"# devices: {jax.devices()}", file=sys.stderr)
     ok = True
@@ -172,6 +209,7 @@ def main():
     ok &= check("epi_residual_pallas", epi_residual)
     ok &= check("mlp_pallas", mlp)
     ok &= check("conv_pallas", conv)
+    ok &= check("conv_s2d", conv_s2d)
     sys.exit(0 if ok else 1)
 
 
