@@ -87,8 +87,12 @@ def main():
     )
     if jax.process_index() == 0:
         trainer.save(trainer.n_iter)
-        print("done:", {k: float(v) for k, v in last.items()
-                        if hasattr(v, "__float__")})
+        # Metrics may include non-scalar tensors (e.g. per-pair E
+        # estimates); print only the scalars.
+        print("done:", {
+            k: float(v) for k, v in last.items()
+            if getattr(v, "ndim", 1) == 0
+        })
 
 
 if __name__ == "__main__":
