@@ -939,10 +939,14 @@ def cmd_baseline_gate(args):
         seq_rep = {"measured": res, "target": target, "deltas": {},
                    "pass": {}}
         for m in metrics:
-            if m not in target or not np.isfinite(res[m]):
+            if m not in target:
                 continue
-            delta = res[m] - target[m]
-            ok = res[m] <= target[m] * (1.0 + tol)
+            # A non-finite measurement means the evaluation itself broke
+            # (e.g. no valid trajectory segments) — that is a FAIL, not
+            # a skip.
+            finite = np.isfinite(res[m])
+            delta = res[m] - target[m] if finite else float("nan")
+            ok = finite and res[m] <= target[m] * (1.0 + tol)
             seq_rep["deltas"][m] = round(float(delta), 4)
             seq_rep["pass"][m] = bool(ok)
             report["ok"] &= ok

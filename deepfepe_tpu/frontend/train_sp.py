@@ -285,6 +285,23 @@ def make_detector_train_step_bn(net, tx: optax.GradientTransformation):
     return step
 
 
+def freeze_batch_stats_grads(grads):
+    """Zero the 'batch_stats' subtree of a gradient pytree.
+
+    In inference-mode BN the outputs genuinely depend on the running
+    mean/var, so autodiff produces REAL gradients for them — but they
+    are buffers, not parameters (torch optimizers never touch BN
+    buffers), and letting Adam walk them corrupts the statistics and
+    can drive `var` toward 0 (rsqrt blowup). Called by every train step
+    that differentiates a full variables dict."""
+    if isinstance(grads, dict) and "batch_stats" in grads:
+        grads = dict(grads)
+        grads["batch_stats"] = jax.tree_util.tree_map(
+            jnp.zeros_like, grads["batch_stats"]
+        )
+    return grads
+
+
 def make_joint_sp_train_step(
     net: SuperPointNet, tx: optax.GradientTransformation,
     desc_weight: float = 1e-4,
@@ -303,6 +320,7 @@ def make_joint_sp_train_step(
         (loss, (l_det, l_desc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        grads = freeze_batch_stats_grads(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "det": l_det, "desc": l_desc}
@@ -345,6 +363,7 @@ def make_warped_joint_train_step(
         (loss, (l_det, l_desc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        grads = freeze_batch_stats_grads(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "det": l_det, "desc": l_desc}

@@ -90,6 +90,13 @@ def make_joint_train_step(
         (loss, metrics), (g_deepf, g_sp) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.deepf_params, state.sp_params)
+        # BN running statistics are buffers, not parameters: inference-mode
+        # BN has real gradients w.r.t. mean/var, but the optimizer must
+        # never walk them (torch parity; Adam steps corrupt the stats and
+        # can drive var -> 0).
+        from ..frontend.train_sp import freeze_batch_stats_grads
+
+        g_sp = freeze_batch_stats_grads(g_sp)
         # Gradient-noise telemetry: the weighted-8-point VJP is heavy-tailed
         # on outlier-dense matches (near-degenerate Gram spectra), which is
         # what the reference's skip-optimizer guards against

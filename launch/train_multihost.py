@@ -91,7 +91,7 @@ def main():
         # estimates); print only the scalars.
         print("done:", {
             k: float(v) for k, v in last.items()
-            if getattr(v, "ndim", 1) == 0
+            if isinstance(v, (int, float)) or getattr(v, "ndim", 1) == 0
         })
 
 

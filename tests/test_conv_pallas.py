@@ -88,6 +88,53 @@ def test_s2d_value_and_grad_parity(shape):
         assert rel < 1e-4, (name, rel)
 
 
+def test_s2d_block_helpers_match_plain_ops(rng):
+    """The s2d-native block helpers (conv on pre-s2d tensors, s2d pool,
+    to/from reinterpretation) == their plain-layout counterparts — the
+    building blocks of the per-block s2d route (kept opt-in; ROADMAP
+    round-4 §full-res)."""
+    import flax.linen as nn
+
+    from deepfepe_tpu.ops.pallas.conv_pallas import (
+        conv3x3_affine_relu_s2d_pre,
+        from_s2d,
+        max_pool_2x2_s2d,
+        to_s2d,
+    )
+
+    x = jnp.asarray(rng.rand(2, 16, 24, 64).astype(np.float32))
+    # to/from round trip is exact.
+    np.testing.assert_array_equal(
+        np.asarray(from_s2d(to_s2d(x))), np.asarray(x)
+    )
+    # s2d pool == plain 2x2 max pool.
+    p_ref = nn.max_pool(x, (2, 2), strides=(2, 2))
+    p_s2d = from_s2d(max_pool_2x2_s2d(to_s2d(x)))
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_s2d))
+    # s2d-native conv == reference conv (values + w/s/b grads).
+    w = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.1)
+    s = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    t = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    y_ref = conv3x3_affine_relu_ref(x, w, s, t)
+    y_s2d = from_s2d(conv3x3_affine_relu_s2d_pre(to_s2d(x), w, s, t))
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_ref), atol=5e-5
+    )
+    cot = jnp.asarray(rng.randn(2, 16, 24, 64).astype(np.float32))
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(conv3x3_affine_relu_ref(*a) * cot), (1, 2, 3)
+    )(x, w, s, t)
+    g_s2d = jax.grad(
+        lambda x_, w_, s_, t_: jnp.sum(
+            from_s2d(conv3x3_affine_relu_s2d_pre(
+                to_s2d(x_), w_, s_, t_)) * cot
+        ), (1, 2, 3),
+    )(x, w, s, t)
+    for a, b in zip(g_s2d, g_ref):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-4
+
+
 def test_s2d_odd_width_falls_back():
     """Odd width cannot s2d; the dispatcher must fall back to XLA."""
     ks = jax.random.split(jax.random.PRNGKey(2), 5)

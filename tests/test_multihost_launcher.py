@@ -7,6 +7,7 @@ the hybrid-mesh constructor it uses — the same functions a pod slice
 runs, minus the cross-process init (SURVEY §2.5 / §5.8).
 """
 
+import os
 import sys
 
 import numpy as np
@@ -79,8 +80,10 @@ def test_launcher_main_single_process(tmp_path, monkeypatch):
     ])
     import runpy
 
-    runpy.run_path(
-        "/root/repo/launch/train_multihost.py", run_name="__main__"
+    launcher = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "launch", "train_multihost.py",
     )
+    runpy.run_path(launcher, run_name="__main__")
     ckpts = list((tmp_path / "logs" / "mh0").rglob("*.msgpack"))
     assert ckpts, "launcher saved no checkpoint"

@@ -11,9 +11,17 @@ Pallas formulations that raise the contraction depth:
   im2col:  9 taps stacked -> 1 [M,576]x[576,64] matmul (K=576, ceiling 50%)
 
 All compute y = relu(conv3x3_same(x, W) * s + t) at B=8, 376x1240, 64ch
-bf16 (the inc.conv1 production shape) against the XLA reference.
+bf16 (the inc.conv1 production shape) against the XLA reference. This
+file is the ROUND-4 EXPERIMENT RECORD: every formulation tried stays
+runnable (select with --kinds=spec,spec where spec = kind_th[_tw], e.g.
+taps9_4, ky3_8, im2col_8, t4-ky3_16, dma-im2col_8, s2dc_16_64,
+s2d9_32_128); the measured verdicts are tabulated in ROADMAP round-4
+§full-res (short version: pure matmuls hit 74-78% MXU but every Pallas
+formulation is capped at 9-14% by Mosaic copy/slice overheads; the
+dma-* kinds do not compile on this axon Mosaic at all; XLA-native wins
+in-graph).
 
-    python tools/bench_conv_formulations.py
+    python tools/bench_conv_formulations.py [--kinds=...]
 """
 
 import functools
@@ -553,7 +561,34 @@ def timeit(f, *a, iters=10):
     return max(t2 - t1, 1e-9) / iters
 
 
+# Every formulation tried in round 4, selectable by name (the measured
+# verdicts live in ROADMAP §full-res; keep ALL variants runnable so the
+# numbers are reproducible). Spec: kind_th[_tw].
+def build(spec):
+    parts = spec.split("_")
+    kind = parts[0]
+    th = int(parts[1])
+    tw = int(parts[2]) if len(parts) > 2 else 256
+    if kind in ("taps9", "ky3", "im2col"):
+        return make_fn(kind, th, tw)
+    if kind in ("dma-ky3", "dma-im2col"):
+        return make_dma_fn(kind.replace("-", "_"), th, tw)
+    if kind in ("t4-ky3", "t4-im2col"):
+        return make_t4_fn(kind.replace("-", "_"), th, tw)
+    if kind in ("s2dc", "s2d9"):
+        return make_s2d_fn(th, tw, concat=(kind == "s2dc"))
+    raise ValueError(f"unknown kind {spec!r}")
+
+
+DEFAULT_KINDS = ("taps9_4", "s2dc_16_64", "s2d9_32_128")
+
+
 def main():
+    kinds = DEFAULT_KINDS
+    for a in sys.argv[1:]:
+        if a.startswith("--kinds="):
+            kinds = a.split("=", 1)[1].split(",")
+
     k = jax.random.split(jax.random.PRNGKey(0), 4)
     x = jax.random.normal(k[0], (B, H, W, C), jnp.bfloat16)
     w = jax.random.normal(k[1], (3, 3, C, C), jnp.float32) * 0.1
@@ -568,27 +603,23 @@ def main():
           flush=True)
     ref_y = conv3x3_affine_relu_ref(x, w, s, t)
 
-    for kind in ("s2dc_16_64", "s2dc_32_64", "s2d9_16_64", "s2d9_32_64",
-                 "s2d9_16_128", "s2d9_32_128"):
-        for th in (1,):
-            try:
-                _, th_s, tg_s = kind.split("_")
-                th, tg = int(th_s), int(tg_s)
-                f = make_s2d_fn(th, tg, concat=kind.startswith("s2dc"))
-                y = f(x, w, s, t)
-                err = float(jnp.max(jnp.abs(
-                    y.astype(jnp.float32) - ref_y.astype(jnp.float32))))
-                g = jax.jit(lambda *a, f=f: jnp.sum(
-                    f(*a).astype(jnp.float32)))
-                dt = timeit(g, x, w, s, t)
-                print(json.dumps({
-                    "kind": kind, "th": th, "ms": round(dt * 1e3, 2),
-                    "mxu_pct": round(FLOP / dt / 197e12 * 100, 1),
-                    "max_err": err,
-                }), flush=True)
-            except Exception as e:  # noqa: BLE001
-                print(json.dumps({"kind": kind, "th": th,
-                                  "error": repr(e)[:300]}), flush=True)
+    for spec in kinds:
+        try:
+            f = build(spec)
+            y = f(x, w, s, t)
+            err = float(jnp.max(jnp.abs(
+                y.astype(jnp.float32) - ref_y.astype(jnp.float32))))
+            g = jax.jit(lambda *a, f=f: jnp.sum(
+                f(*a).astype(jnp.float32)))
+            dt = timeit(g, x, w, s, t)
+            print(json.dumps({
+                "kind": spec, "ms": round(dt * 1e3, 2),
+                "mxu_pct": round(FLOP / dt / 197e12 * 100, 1),
+                "max_err": err,
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"kind": spec,
+                              "error": repr(e)[:300]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -96,6 +96,10 @@ def window_pool(images, rng, n, hw=IMG):
 
 
 def eval_real(net, params, windows, rng, fp, n_pairs=16):
+    # NOTE: callers must pass a FRESH RandomState with a fixed seed so
+    # before/after evals see IDENTICAL warps — a shared training rng
+    # advances between the two calls and confounds the comparison
+    # (round-4 self-review finding).
     from deepfepe_tpu.eval.frontend_eval import evaluate_homography_pair
 
     acc = {}
@@ -196,7 +200,8 @@ def main():
     fp = FrontendParams(out_num_points=200, conf_thresh=0.010,
                         nn_thresh=0.9)
     log({"stage": "eval_before_real",
-         **eval_real(net, params, eval_wins, rng, fp)})
+         **eval_real(net, params, eval_wins,
+                     np.random.RandomState(1234), fp)})
 
     t0 = time.time()
     cells, corners = ha_labels(net, params, train_wins, rng,
@@ -229,7 +234,8 @@ def main():
         f.write(serialization.to_bytes(jax.device_get(params)))
     log({"stage": "saved", "path": path})
     log({"stage": "eval_after_real",
-         **eval_real(net, params, eval_wins, rng, fp)})
+         **eval_real(net, params, eval_wins,
+                     np.random.RandomState(1234), fp)})
 
     # No-regression check on the synthetic corner domain.
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
