@@ -944,12 +944,12 @@ def cmd_baseline_gate(args):
             # A non-finite measurement means the evaluation itself broke
             # (e.g. no valid trajectory segments) — that is a FAIL, not
             # a skip.
-            finite = np.isfinite(res[m])
+            finite = bool(np.isfinite(res[m]))
             delta = res[m] - target[m] if finite else float("nan")
-            ok = finite and res[m] <= target[m] * (1.0 + tol)
+            ok = bool(finite and res[m] <= target[m] * (1.0 + tol))
             seq_rep["deltas"][m] = round(float(delta), 4)
-            seq_rep["pass"][m] = bool(ok)
-            report["ok"] &= ok
+            seq_rep["pass"][m] = ok
+            report["ok"] = bool(report["ok"] and ok)
             rows.append((seq, m, res[m], target[m], delta, ok))
         report["sequences"][seq] = seq_rep
 

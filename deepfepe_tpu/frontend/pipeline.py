@@ -61,24 +61,54 @@ def _use_fused_convs(fp: FrontendParams) -> bool:
 
 
 def run_superpoint(
-    net: SuperPointNet, params, images: jnp.ndarray, fp: FrontendParams
-) -> Keypoints:
-    """images: [B, H, W] grayscale in [0,1] -> Keypoints with descriptors."""
+    net: SuperPointNet,
+    params,
+    images: jnp.ndarray,
+    fp: FrontendParams,
+    bn_train: bool = False,
+    bn_groups: int = 1,
+):
+    """images: [B, H, W] grayscale in [0,1] -> Keypoints with descriptors.
+
+    `bn_train=True` (BatchNorm nets only) runs BN on BATCH statistics
+    with momentum buffer updates — the reference's train-mode semantics
+    for end-to-end SP fine-tuning (Train_model_pipeline.py:367-377) —
+    and returns `(Keypoints, new_batch_stats)` instead of bare
+    Keypoints. This path always takes the flax forward: the fused-conv
+    backend folds BN from RUNNING stats, which is an inference-only
+    transform."""
     remat = getattr(fp, "remat", "none")
-    if _use_fused_convs(fp):
+    if bn_train:
+        def fwd(p, im):
+            return net.apply(
+                p, im, train=True, bn_groups=bn_groups,
+                mutable=["batch_stats"],
+            )
+
+        if remat in ("block", "full"):
+            fwd = jax.checkpoint(fwd)
+        outs, new_vars = fwd(params, images[..., None])
+        new_stats = new_vars["batch_stats"]
+    elif _use_fused_convs(fp):
         from .sp_pallas import superpoint_forward_fused
 
         outs = superpoint_forward_fused(
             net, params, images[..., None], remat=remat,
         )
-    elif remat == "full":
+        new_stats = None
+    elif remat in ("block", "full"):
+        # The flax forward has no per-block checkpoint boundary; 'block'
+        # degrades to 'full' here rather than silently ignoring the
+        # request (ADVICE r4).
         outs = jax.checkpoint(
             lambda p, im: net.apply(p, im)
         )(params, images[..., None])
+        new_stats = None
     else:
         outs = net.apply(params, images[..., None])
+        new_stats = None
     heatmap = flatten_detection(outs["semi"])
-    return extract_keypoints(
+    kpts = extract_keypoints(
         heatmap,
         outs["desc"],
         out_num_points=fp.out_num_points,
@@ -86,6 +116,9 @@ def run_superpoint(
         conf_thresh=fp.conf_thresh,
         patch_size=fp.patch_size,
     )
+    if bn_train:
+        return kpts, new_stats
+    return kpts
 
 
 def get_matches_from_sp(
@@ -93,21 +126,32 @@ def get_matches_from_sp(
     params,
     imgs_grey: Tuple[jnp.ndarray, jnp.ndarray],
     fp: FrontendParams,
+    bn_train: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Two frames -> correspondence dict for the solver data_batch.
 
     Returns {'matches_xy_ori' [B,N,4], 'quality' [B,N,1], 'valid' [B,N],
-    'kpts1', 'kpts2', 'matches'}.
+    'kpts1', 'kpts2', 'matches'} (+ 'new_batch_stats' when
+    `bn_train=True` — the momentum-updated BN buffers the joint train
+    step must write back, reference train-mode BN semantics).
     """
     # One [2B] net pass for both frames, split after: value-identical
-    # (the CNN is per-item; BN runs on running stats), and measured 3x
-    # cheaper under grad on the v5e — XLA picks a pathological conv
-    # layout strategy for B=4 full-res chains that it avoids at B=8
-    # (93.8 ms fwd+bwd for two B=4 encoder chains vs 31.6 ms for one
-    # B=8 chain, tools-level experiment, ROADMAP round-3 §joint perf).
+    # (the CNN is per-item; eval BN runs on running stats, train BN uses
+    # bn_groups=2 for exact per-frame statistics parity with the
+    # reference's two per-frame forwards), and measured 3x cheaper under
+    # grad on the v5e — XLA picks a pathological conv layout strategy
+    # for B=4 full-res chains that it avoids at B=8 (93.8 ms fwd+bwd for
+    # two B=4 encoder chains vs 31.6 ms for one B=8 chain, tools-level
+    # experiment, ROADMAP round-3 §joint perf).
     B = imgs_grey[0].shape[0]
     both = jnp.concatenate([imgs_grey[0], imgs_grey[1]], axis=0)
-    kk = run_superpoint(net, params, both, fp)
+    new_stats = None
+    if bn_train:
+        kk, new_stats = run_superpoint(
+            net, params, both, fp, bn_train=True, bn_groups=2
+        )
+    else:
+        kk = run_superpoint(net, params, both, fp)
     k1 = jax.tree_util.tree_map(lambda a: a[:B], kk)
     k2 = jax.tree_util.tree_map(lambda a: a[B:], kk)
     m = mutual_nn_match(
@@ -136,7 +180,7 @@ def get_matches_from_sp(
     idx = jnp.where(m.valid, ar, pad_idx)
     matches_xy = jnp.take_along_axis(matches_xy, idx[..., None], axis=-2)
     quality = jnp.take_along_axis(quality, idx[..., None], axis=-2)
-    return {
+    out = {
         "matches_xy_ori": matches_xy,
         "quality": quality,
         "valid": m.valid,
@@ -144,6 +188,9 @@ def get_matches_from_sp(
         "kpts2": k2,
         "matches": m,
     }
+    if bn_train:
+        out["new_batch_stats"] = new_stats
+    return out
 
 
 class ValModelHeatmap:

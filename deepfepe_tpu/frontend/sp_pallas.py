@@ -12,9 +12,12 @@ encoder backward the full-res joint-step wall (ROADMAP round-3 profile:
 Numerics: convs accumulate f32 (operands in net.dtype), the affine+relu
 run in f32 — at least as precise as the flax modules
 (tests/test_conv_pallas.py measures agreement). BatchNorm is folded to
-its inference affine (scale/sqrt(var+eps), shifted bias), which is
-exactly what the joint train step runs (frontend BN on running stats;
-BN-training steps use the flax path).
+its inference affine (scale/sqrt(var+eps), shifted bias) — an
+INFERENCE-ONLY transform: the fused path serves eval forwards and
+SP-frozen (stage-1) joint steps, which run BN on running stats. Any
+train-mode-BN forward (end-to-end fine-tune, bn_mode='train' — batch
+statistics + momentum buffer updates, the reference's semantics) takes
+the flax path via run_superpoint(bn_train=True).
 
 Reference: pytorch-superpoint SuperPointNet_gauss2 as consumed by
 train_good.py:224-237 / train_good_utils.py:727-756.

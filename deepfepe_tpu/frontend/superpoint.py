@@ -14,7 +14,9 @@ Layout is NHWC (TPU-native conv layout); `semi` is [B, H/8, W/8, 65] and
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.basic import safe_norm
 
@@ -67,6 +69,90 @@ class SuperPointNet(nn.Module):
         return {"semi": semi, "desc": desc}
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact `torch.nn.BatchNorm2d` semantics (the layer
+    the reference's SuperPointNet_gauss2 is built from).
+
+    torch-parity details that differ from `flax.linen.BatchNorm`:
+
+    - momentum convention: torch momentum (default 0.1) is the weight of
+      the NEW batch statistic — `r <- (1 - m) * r + m * stat` (flax's
+      default 0.99 is the weight of the OLD average, i.e. torch 0.01);
+    - the running variance update uses the UNBIASED batch variance
+      (n/(n-1) correction) while normalization uses the biased one;
+    - `groups` splits the leading batch axis into that many virtual
+      batches: per-group statistics normalize each group and the buffers
+      take `groups` sequential momentum updates.  The reference's joint
+      step runs the SP net once PER FRAME (train_good_utils.py:668-677),
+      so its train-mode BN sees per-frame batch stats and two buffer
+      updates per step; our TPU-native pipeline concatenates both frames
+      into ONE [2B] net call (the round-3 3x conv-layout win) and
+      recovers the exact reference semantics with `groups=2`.
+
+    Variable layout matches `flax.linen.BatchNorm` (params: scale/bias,
+    batch_stats: mean/var) so existing checkpoints, the .pth.tar
+    importer (utils/torch_import.py), and the fused-affine folding
+    (frontend/sp_pallas.py) are unchanged.  Batch statistics are always
+    computed in float32; normalization runs in `dtype` exactly as flax
+    does, so eval-mode outputs are unchanged vs the previous
+    nn.BatchNorm modules.
+    """
+
+    momentum: float = 0.1  # torch convention: weight of the new stat
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        use_running_average: bool = True,
+        groups: int = 1,
+    ) -> jnp.ndarray:
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        dt = self.dtype
+        if use_running_average:
+            mul = jax.lax.rsqrt(ra_var.value.astype(dt) + jnp.asarray(
+                self.eps, dt)) * scale.astype(dt)
+            return (x.astype(dt) - ra_mean.value.astype(dt)) * mul \
+                + bias.astype(dt)
+
+        g = groups
+        B = x.shape[0]
+        assert B % g == 0, (B, g)
+        xg = x.reshape(g, B // g, *x.shape[1:])
+        axes = tuple(range(1, xg.ndim - 1))
+        xf = xg.astype(jnp.float32)
+        gmean = jnp.mean(xf, axis=axes)                       # [g, feat]
+        gvar = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(gmean)
+        n = (B // g) * int(np.prod(x.shape[1:-1]))
+        corr = n / max(n - 1, 1)  # unbiased correction for the buffer
+        if not self.is_initializing():
+            m = self.momentum
+            rm, rv = ra_mean.value, ra_var.value
+            for k in range(g):  # sequential per-group updates (torch order)
+                rm = (1.0 - m) * rm + m * jax.lax.stop_gradient(gmean[k])
+                rv = (1.0 - m) * rv + m * jax.lax.stop_gradient(
+                    gvar[k] * corr
+                )
+            ra_mean.value = rm
+            ra_var.value = rv
+        shape = (g, 1) + (1,) * (xg.ndim - 3) + (feat,)
+        mul = jax.lax.rsqrt(gvar.astype(dt) + jnp.asarray(self.eps, dt)) \
+            * scale.astype(dt)
+        y = (xg.astype(dt) - gmean.astype(dt).reshape(shape)) \
+            * mul.reshape(shape) + bias.astype(dt)
+        return y.reshape(x.shape)
+
+
 class _DoubleConv(nn.Module):
     """(Conv3x3 -> BN -> ReLU) x2 — pytorch-superpoint unet_parts
     double_conv, the gauss2 backbone block.
@@ -78,15 +164,16 @@ class _DoubleConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, bn_groups: int = 1
+    ) -> jnp.ndarray:
         conv = lambda name: nn.Conv(
             self.out_ch, (3, 3), padding="SAME", name=name, dtype=self.dtype
         )
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, name=name, dtype=self.dtype
-        )
-        x = nn.relu(bn("bn0")(conv("conv0")(x)))
-        x = nn.relu(bn("bn1")(conv("conv1")(x)))
+        bn = lambda name: TorchBatchNorm(name=name, dtype=self.dtype)
+        kw = dict(use_running_average=not train, groups=bn_groups)
+        x = nn.relu(bn("bn0")(conv("conv0")(x), **kw))
+        x = nn.relu(bn("bn1")(conv("conv1")(x), **kw))
         return x
 
 
@@ -100,7 +187,12 @@ class SuperPointNetGauss2(nn.Module):
     utils.torch_import.convert_superpoint_gauss2_state.
 
     Inference uses the checkpoint's running BN statistics
-    (train=False); pass train=True + mutable=['batch_stats'] to train.
+    (train=False); pass train=True + mutable=['batch_stats'] to train —
+    BN then normalizes by BATCH statistics and the running buffers take
+    momentum updates, exactly as the reference fine-tunes SuperPoint
+    end-to-end (Train_model_pipeline.py:367-377 applies eval() only in
+    the frozen no-grad branch).  `bn_groups` splits the batch axis into
+    virtual batches for per-frame statistic parity (see TorchBatchNorm).
     `dtype=bfloat16` runs conv/BN compute at MXU full rate (params and
     running stats stay float32; heads return float32).
     """
@@ -110,29 +202,33 @@ class SuperPointNetGauss2(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> dict:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, bn_groups: int = 1
+    ) -> dict:
         pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, name=name, dtype=self.dtype
-        )
+        bn = lambda name: TorchBatchNorm(name=name, dtype=self.dtype)
+        kw = dict(use_running_average=not train, groups=bn_groups)
         conv = lambda ch, k, name: nn.Conv(
             ch, k, padding="SAME", name=name, dtype=self.dtype
         )
         x = x.astype(self.dtype)
-        y = _DoubleConv(64, name="inc", dtype=self.dtype)(x, train)
-        y = _DoubleConv(64, name="down1", dtype=self.dtype)(pool(y), train)
-        y = _DoubleConv(128, name="down2", dtype=self.dtype)(pool(y), train)
-        y = _DoubleConv(128, name="down3", dtype=self.dtype)(pool(y), train)
+        y = _DoubleConv(64, name="inc", dtype=self.dtype)(x, train, bn_groups)
+        y = _DoubleConv(64, name="down1", dtype=self.dtype)(
+            pool(y), train, bn_groups)
+        y = _DoubleConv(128, name="down2", dtype=self.dtype)(
+            pool(y), train, bn_groups)
+        y = _DoubleConv(128, name="down3", dtype=self.dtype)(
+            pool(y), train, bn_groups)
 
-        d = nn.relu(bn("bnPa")(conv(256, (3, 3), "convPa")(y)))
-        semi = bn("bnPb")(conv(self.det_h, (1, 1), "convPb")(d)).astype(
-            jnp.float32
-        )
+        d = nn.relu(bn("bnPa")(conv(256, (3, 3), "convPa")(y), **kw))
+        semi = bn("bnPb")(
+            conv(self.det_h, (1, 1), "convPb")(d), **kw
+        ).astype(jnp.float32)
 
-        e = nn.relu(bn("bnDa")(conv(256, (3, 3), "convDa")(y)))
-        desc = bn("bnDb")(conv(self.desc_dim, (1, 1), "convDb")(e)).astype(
-            jnp.float32
-        )
+        e = nn.relu(bn("bnDa")(conv(256, (3, 3), "convDa")(y), **kw))
+        desc = bn("bnDb")(
+            conv(self.desc_dim, (1, 1), "convDb")(e), **kw
+        ).astype(jnp.float32)
         desc = desc / (safe_norm(desc, axis=-1, keepdims=True) + 1e-10)
 
         return {"semi": semi, "desc": desc}

@@ -1,5 +1,6 @@
 """Training engine: config, jitted steps, outer loop, checkpointing."""
 
+from .clamp import QuantileClampScheduler
 from .config import Config, DataConfig, ModelConfig, TrainingConfig, config_from_dict, load_config, qt_clamps
 from .engine import TrainState, compute_losses, make_eval_step, make_optimizer, make_train_step
 from .joint import JointTrainState, make_joint_eval_step, make_joint_train_step

@@ -96,6 +96,13 @@ class TrainingConfig:
     lr_decay_rate: float = 1.0
     train_iter: int = 100_000
     val_interval: int = 200
+    # Val-in-train telemetry (Train_model_pipeline.py:197-233 +
+    # configs/kitti_corr_baseline.yaml:81): every N training steps,
+    # run the full val-metric computation on the next `val_batches`
+    # TRAINING batches and flush under the 'training' task — pose-error
+    # telemetry on the training distribution. 0 disables (reference
+    # default 1000).
+    val_interval_in_train: int = 0
     val_batches: int = 10
     save_interval: int = 200
     # First-party tfevents scalars under <save_dir>/runs (the reference's

@@ -105,6 +105,12 @@ def compute_losses(
                 "loss_t": rd["loss_t"],
                 "R_angle_error_mean": rd["R_angle_error_mean"],
                 "t_angle_error_mean": rd["t_angle_error_mean"],
+                # Per-item UNCLAMPED final-layer errors [B]: the
+                # quantile-tied clamp scheduler (train/clamp.py) reads
+                # these to tighten clamps only once the measured error
+                # distribution is inside them.
+                "q_l2_final": rd["q_l2_layers"][-1],
+                "t_l2_final": rd["t_l2_layers"][-1],
             }
         )
     metrics["loss"] = loss

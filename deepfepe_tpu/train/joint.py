@@ -65,18 +65,54 @@ def make_joint_train_step(
     cfg: Config,
     train_deepf: bool = True,
     train_sp: bool = True,
+    bn_mode: str = "train",
 ) -> Callable:
-    """(state, batch, q_clamp, t_clamp) -> (state, metrics), fully jitted."""
+    """(state, batch, q_clamp, t_clamp) -> (state, metrics), fully jitted.
 
-    @functools.partial(jax.jit, static_argnums=(2, 3), donate_argnums=(0,))
-    def step(state: JointTrainState, batch, q_clamp: float, t_clamp: float):
+    The clamps are TRACED scalars (not static): the quantile-tied clamp
+    scheduler (train/clamp.py) emits a continuum of values and static
+    clamps would recompile the step at every tightening.
+
+    `bn_mode` (BatchNorm frontends only, i.e. sp_params carries a
+    'batch_stats' collection):
+
+    - 'train' (default — the reference's behavior): the SP forward runs
+      BN on BATCH statistics and the momentum-updated running buffers
+      are written back to the state each step, exactly as torch
+      train-mode BN does during the reference's end-to-end fine-tune
+      (`net_SP.eval()` appears only in the frozen no-grad branch,
+      Train_model_pipeline.py:367-377). Buffer updates ride the same
+      non-finite/min-matches guard as the parameter update.
+    - 'frozen': inference-mode BN on fixed running stats (the round-4
+      behavior; useful for ablation and for frontends without BN).
+
+    Either way the OPTIMIZER never walks the buffers
+    (freeze_batch_stats_grads — torch optimizers don't see BN buffers).
+    """
+    if bn_mode not in ("train", "frozen"):
+        raise ValueError(f"bn_mode must be 'train' or 'frozen', got {bn_mode}")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: JointTrainState, batch, q_clamp, t_clamp):
         imgs = batch["imgs_grey"]  # [B, 2, H, W]
         step_rng = jax.random.fold_in(jax.random.PRNGKey(23), state.n_iter)
+        # train-mode BN only while SP itself trains: the reference applies
+        # net_SP.eval() exactly in the frozen no-grad branch
+        # (Train_model_pipeline.py:367-377), so stage-1 (SP frozen) runs
+        # inference BN and stage-2 (end-to-end) runs batch-stat BN.
+        bn_train = (
+            bn_mode == "train"
+            and train_sp
+            and isinstance(state.sp_params, dict)
+            and "batch_stats" in state.sp_params
+        )
 
         def loss_fn(deepf_params, sp_params):
             sp_out = get_matches_from_sp(
-                sp_net, sp_params, (imgs[:, 0], imgs[:, 1]), fp
+                sp_net, sp_params, (imgs[:, 0], imgs[:, 1]), fp,
+                bn_train=bn_train,
             )
+            new_stats = sp_out.pop("new_batch_stats", None)
             db = build_solver_batch(sp_out, batch)
             loss, metrics = compute_losses(
                 deepf_net, deepf_params, db, cfg, q_clamp, t_clamp,
@@ -85,15 +121,17 @@ def make_joint_train_step(
             per_item = jnp.sum(sp_out["valid"], axis=-1).astype(jnp.float32)
             metrics["num_matches"] = jnp.mean(per_item)
             metrics["min_matches_item"] = jnp.min(per_item)
-            return loss, metrics
+            return loss, (metrics, new_stats)
 
-        (loss, metrics), (g_deepf, g_sp) = jax.value_and_grad(
+        (loss, (metrics, new_stats)), (g_deepf, g_sp) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.deepf_params, state.sp_params)
         # BN running statistics are buffers, not parameters: inference-mode
         # BN has real gradients w.r.t. mean/var, but the optimizer must
         # never walk them (torch parity; Adam steps corrupt the stats and
-        # can drive var -> 0).
+        # can drive var -> 0). In train mode their grads are zero anyway
+        # (batch stats are used instead), and the buffers advance by the
+        # momentum write-back below.
         from ..frontend.train_sp import freeze_batch_stats_grads
 
         g_sp = freeze_batch_stats_grads(g_sp)
@@ -141,6 +179,15 @@ def make_joint_train_step(
                 optax.apply_updates(sp_params, upd), sp_params
             )
             sp_opt = _guard(new_opt, sp_opt)
+        if bn_train and new_stats is not None:
+            # Momentum buffer write-back (torch train-mode BN updates the
+            # buffers in forward; here it is a buffer assignment outside
+            # the optimizer). Guarded like the parameter update so a
+            # non-finite batch can't poison the running statistics.
+            sp_params = dict(sp_params)
+            sp_params["batch_stats"] = _guard(
+                new_stats, state.sp_params["batch_stats"]
+            )
 
         new_state = state.replace(
             deepf_params=deepf_params,

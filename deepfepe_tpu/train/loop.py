@@ -207,6 +207,35 @@ class Trainer:
             self.logger.log(n_iter, "train", metrics)
             last = metrics
 
+            # Val-in-train telemetry (Train_model_pipeline.py:197-233):
+            # every val_interval_in_train steps, run the val-metric
+            # computation over the next val_batches TRAINING batches and
+            # flush the means under the reference's 'training' task tag.
+            # (Deviation: the reference also flips the net to eval() for
+            # the training updates inside the window; we keep the update
+            # in train mode and only ADD the eval-mode telemetry pass.)
+            vit = getattr(cfg.training, "val_interval_in_train", 0)
+            if vit and vit > 0:
+                if n_iter != 0 and n_iter % vit == 0:
+                    self._vit_accum: Dict = {}
+                    self._vit_count = 0
+                if getattr(self, "_vit_count", None) is not None:
+                    em = self.eval_step(self.state.params, sharded)
+                    for k, v in em.items():
+                        if np.ndim(v) == 0:
+                            self._vit_accum[k] = (
+                                self._vit_accum.get(k, 0.0)
+                                + float(np.asarray(v))
+                            )
+                    self._vit_count += 1
+                    if self._vit_count > cfg.training.val_batches:
+                        means = {
+                            k: v / self._vit_count
+                            for k, v in self._vit_accum.items()
+                        }
+                        self.logger.log(n_iter, "training", means)
+                        self._vit_count = None
+
             if (
                 val_stream_fn is not None
                 and cfg.training.val_interval > 0

@@ -835,3 +835,37 @@ def test_val_feature_homography_surface(monkeypatch, tmp_path):
     for key in ("h_repeatability", "h_localization_error", "h_mscore",
                 "h_mAP", "h_corner_error", "h_correct@3.0"):
         assert key in summary, key
+
+
+def test_baseline_gate_nonfinite_metric_fails_cleanly(tmp_path, monkeypatch):
+    """A non-finite measured metric must FAIL the gate and still print a
+    JSON-serializable report (ADVICE r4 medium: np.isfinite's numpy.bool_
+    leaked into report['ok'] and json.dumps raised TypeError on exactly
+    the failure path the non-finite check was added to report)."""
+    import json
+
+    from deepfepe_tpu import cli
+    from deepfepe_tpu.eval import kitti_odometry as ko
+
+    d = tmp_path / "eval"
+    d.mkdir()
+    rels = np.tile(np.eye(4)[None, :3, :], (3, 1, 1))
+    np.savez(d / "DeepF_err_ratio.npz", relative_poses_body=rels)
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    row = " ".join(["1 0 0 0", "0 1 0 0", "0 0 1 0"])
+    (gt_dir / "09.txt").write_text("\n".join([row] * 4) + "\n")
+
+    bad = {"trans_err_pct": float("nan"), "rot_err_deg_per_100m": 0.1,
+           "ATE_m": 0.1, "RPE_m": 0.1, "RPE_deg": 0.1}
+    monkeypatch.setattr(ko, "evaluate_sequence", lambda *a, **k: dict(bad))
+    report = cli.main([
+        "baseline_gate", f"09={d}", "--gt_dir", str(gt_dir),
+    ])
+    assert report["ok"] is False
+    assert report["sequences"]["09"]["pass"]["trans_err_pct"] is False
+    json.dumps(report)  # the report must serialize on the failure path
+
+    with pytest.raises(SystemExit):
+        cli.main(["baseline_gate", f"09={d}", "--gt_dir", str(gt_dir),
+                  "--strict"])

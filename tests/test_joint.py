@@ -136,19 +136,14 @@ def test_joint_train_step_runs_and_updates_both():
     assert np.isfinite(float(m["loss_F"]))
 
 
-def test_joint_train_step_gauss2_freezes_batch_stats():
-    """BN running statistics are buffers, not parameters: inference-mode
-    BN has REAL gradients w.r.t. mean/var (the output depends on them),
-    and without the freeze Adam walks the stats (torch-parity bug found
-    by the round-4 self-review). One joint step with the gauss2 frontend
-    must update conv/BN params but leave batch_stats bit-identical."""
+def _gauss2_joint_setup(seed=3):
     from deepfepe_tpu.frontend import SuperPointNetGauss2, get_matches_from_sp
 
     cfg = Config()
     cfg.model.depth = 2
     cfg.data.good_num = 64
 
-    ds = SyntheticImagePairs(image_size=(64, 96), seed=3)
+    ds = SyntheticImagePairs(image_size=(64, 96), seed=seed)
     batch = {k: jnp.asarray(v) for k, v in ds.batch(2).items()}
     sp_net = SuperPointNetGauss2()
     deepf_net = DeepFNet(depth=2, image_size=(64, 96))
@@ -165,12 +160,23 @@ def test_joint_train_step_gauss2_freezes_batch_stats():
     db["quality"] = sp_out["quality"]
     db["matches_good_unique_nums"] = jnp.sum(sp_out["valid"], axis=-1)
     deepf_params = deepf_net.init(jax.random.PRNGKey(1), db)
+    return cfg, batch, sp_net, deepf_net, fp, sp_vars, deepf_params
 
+
+def test_joint_train_step_gauss2_frozen_bn_freezes_batch_stats():
+    """bn_mode='frozen': BN runs on fixed running stats and the buffers
+    stay bit-identical — neither Adam (inference-mode BN has REAL
+    gradients w.r.t. mean/var; the round-4 bug let the optimizer walk
+    them) nor any momentum update may touch them."""
+    cfg, batch, sp_net, deepf_net, fp, sp_vars, deepf_params = \
+        _gauss2_joint_setup()
     tx = optax.adam(1e-3)
     state = JointTrainState.create(deepf_params, sp_vars, tx, tx)
     before_stats = jax.device_get(sp_vars["batch_stats"])
     before_params = jax.device_get(sp_vars["params"])
-    step = make_joint_train_step(deepf_net, sp_net, fp, tx, tx, cfg)
+    step = make_joint_train_step(
+        deepf_net, sp_net, fp, tx, tx, cfg, bn_mode="frozen"
+    )
     state2, metrics = step(state, batch, 0.1, 0.5)
     assert float(metrics["skipped_update"]) == 0.0
 
@@ -183,6 +189,61 @@ def test_joint_train_step_gauss2_freezes_batch_stats():
         for x, y in zip(jax.tree_util.tree_leaves(before_params),
                         jax.tree_util.tree_leaves(after["params"]))
     )
+
+
+def test_joint_train_step_gauss2_train_bn_momentum_buffers():
+    """bn_mode='train' (default — reference parity): the SP forward runs
+    BN on batch statistics and the buffers advance by EXACTLY the
+    torch momentum update — i.e. the post-step batch_stats equal the
+    `new_batch_stats` an independent bn_train forward computes on the
+    pre-step params, and NOT an optimizer walk (VERDICT r4 missing #1;
+    ref Train_model_pipeline.py:367-377)."""
+    from deepfepe_tpu.frontend import get_matches_from_sp
+
+    cfg, batch, sp_net, deepf_net, fp, sp_vars, deepf_params = \
+        _gauss2_joint_setup()
+    tx = optax.adam(1e-3)
+    # Host copies first: the jitted step donates its input state, which
+    # deletes the device arrays shared with sp_vars/deepf_params.
+    sp_vars_host = jax.device_get(sp_vars)
+    deepf_host = jax.device_get(deepf_params)
+    state = JointTrainState.create(deepf_params, sp_vars, tx, tx)
+    before_stats = sp_vars_host["batch_stats"]
+
+    expected = jax.device_get(get_matches_from_sp(
+        sp_net, sp_vars_host,
+        (batch["imgs_grey"][:, 0], batch["imgs_grey"][:, 1]), fp,
+        bn_train=True,
+    )["new_batch_stats"])
+
+    step = make_joint_train_step(deepf_net, sp_net, fp, tx, tx, cfg)
+    state2, metrics = step(state, batch, 0.1, 0.5)
+    assert float(metrics["skipped_update"]) == 0.0
+    assert np.isfinite(float(metrics["loss"]))
+
+    after = jax.device_get(state2.sp_params)["batch_stats"]
+    flat_after = jax.tree_util.tree_leaves(after)
+    flat_expected = jax.tree_util.tree_leaves(expected)
+    flat_before = jax.tree_util.tree_leaves(before_stats)
+    moved = any(
+        np.any(np.asarray(a) != np.asarray(b))
+        for a, b in zip(flat_after, flat_before)
+    )
+    assert moved, "train-mode BN must advance the running buffers"
+    for a, e in zip(flat_after, flat_expected):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-6, atol=1e-7)
+
+    # SP frozen (stage 1): the reference applies net_SP.eval() in the
+    # no-grad branch, so even bn_mode='train' must keep buffers fixed.
+    state3 = JointTrainState.create(deepf_host, sp_vars_host, tx, tx)
+    step_frozen_sp = make_joint_train_step(
+        deepf_net, sp_net, fp, tx, tx, cfg, train_sp=False
+    )
+    state4, _ = step_frozen_sp(state3, batch, 0.1, 0.5)
+    after4 = jax.device_get(state4.sp_params)["batch_stats"]
+    for a, b in zip(jax.tree_util.tree_leaves(after4), flat_before):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_joint_freeze_flags():

@@ -140,6 +140,22 @@ def main():
                          "config.qt_clamps) instead of fixed (0.1, 0.5)")
     ap.add_argument("--clamp_iter1", type=int, default=3000)
     ap.add_argument("--clamp_iter2", type=int, default=6000)
+    ap.add_argument("--clamp_quantile", type=float, default=0.0,
+                    help=">0 enables the quantile-tied clamp scheduler "
+                         "(train/clamp.py): clamps tighten only when the "
+                         "measured per-item error quantile (this value, "
+                         "e.g. 0.7) is inside them — fixes the round-4 "
+                         "saturation failure of iteration schedules on "
+                         "short runs. Overrides --clamp_curriculum.")
+    ap.add_argument("--clamp_headroom", type=float, default=1.5)
+    ap.add_argument("--clamp_check_every", type=int, default=50)
+    ap.add_argument("--bn_mode", default="train",
+                    choices=["train", "frozen"],
+                    help="BatchNorm mode while SP trains end-to-end: "
+                         "'train' = reference parity (batch stats + "
+                         "momentum buffer updates, "
+                         "Train_model_pipeline.py:367-377), 'frozen' = "
+                         "round-4 inference-BN behavior")
     args = ap.parse_args()
     IMG = tuple(args.image)
     NPTS = args.npts
@@ -217,6 +233,17 @@ def main():
 
     key = jax.random.PRNGKey(3)
     global_it = 0
+    from deepfepe_tpu.train.clamp import QuantileClampScheduler
+
+    # One scheduler across stages: the clamps carry over (monotone
+    # tightening follows the error distribution, not stage boundaries).
+    sched = None
+    if args.clamp_quantile > 0 and args.qt:
+        sched = QuantileClampScheduler(
+            quantile=args.clamp_quantile,
+            headroom=args.clamp_headroom,
+            check_every=args.clamp_check_every,
+        )
     log({"stage": "eval_init",
          **evaluate(deepf_net, sp_net, fp, cfg, state, ds_eval,
                     args.eval_batches, key)})
@@ -229,7 +256,7 @@ def main():
             continue
         step = make_joint_train_step(
             deepf_net, sp_net, fp, tx_deepf, tx_sp, cfg,
-            train_deepf=True, train_sp=train_sp,
+            train_deepf=True, train_sp=train_sp, bn_mode=args.bn_mode,
         )
         # Host-side threaded prefetch: rendering is numpy (releases the
         # GIL), so 3 workers overlap data gen with the device step.
@@ -257,22 +284,28 @@ def main():
         from deepfepe_tpu.train.config import qt_clamps
 
         skipped = 0
+        qc, tc = 0.1, 0.5
         for it in range(iters):
             b = {k: jnp.asarray(v) for k, v in q.get().items()}
-            if args.clamp_curriculum:
+            if sched is not None:
+                qc, tc = sched.clamps
+            elif args.clamp_curriculum:
                 qc, tc = qt_clamps(cfg.training, global_it)
-            else:
-                qc, tc = 0.1, 0.5
             state, m = step(state, b, qc, tc)
             global_it += 1
             skipped += int(float(np.asarray(m.get("skipped_update", 0.0))))
+            if sched is not None:
+                sched.update(np.asarray(m["q_l2_final"]),
+                             np.asarray(m["t_l2_final"]))
             if it % 100 == 0 or it == iters - 1:
                 log({"stage": stage, "iter": it,
                      "loss": round(float(np.asarray(m["loss"])), 6),
-                     "q_clamp": qc, "t_clamp": tc,
+                     "q_clamp": round(qc, 5), "t_clamp": round(tc, 5),
                      "num_matches": round(float(np.asarray(
                          m.get("num_matches", -1.0))), 1),
                      "skipped_total": skipped,
+                     **({"clamp_tightenings": sched.n_tightenings}
+                        if sched is not None else {}),
                      "g_deepf": round(float(np.asarray(m["g_deepf_norm"])), 3),
                      "g_sp": round(float(np.asarray(m["g_sp_norm"])), 3),
                      "elapsed_s": round(time.time() - t0, 1)})
