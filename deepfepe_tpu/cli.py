@@ -42,6 +42,13 @@ def _build(args):
 
 
 def cmd_train(args):
+    from .train import load_config
+
+    cfg = load_config(args.config)
+    if cfg.model.if_SP:
+        # The reference's flagship end-to-end mode (if_SP=true in
+        # kitti_corr_baseline.yaml): joint SuperPoint + DeepF training.
+        return _train_joint_from_config(args)
     cfg, net, trainer, save_dir = _build(args)
     from .loader import data_loader
 
@@ -49,10 +56,20 @@ def cmd_train(args):
     val_ds = data_loader(cfg, "val")
     bs = cfg.data.batch_size
 
-    if args.pretrained:
+    # Checkpoint restore: CLI flag first, else the config's
+    # pretrained/retrain pair (train_good.py:282-336 prepare_model —
+    # retrain=true means fresh model, reset_iter zeroes the counter).
+    pre = args.pretrained or (
+        "" if cfg.training.retrain else cfg.training.pretrained
+    )
+    if pre:
         first = next(iter(train_ds.batches(bs)))
-        trainer.restore(args.pretrained, first)
-        print(f"restored from {args.pretrained} @ iter {trainer.n_iter}")
+        trainer.restore(pre, first)
+        if cfg.training.reset_iter and trainer.state is not None:
+            trainer.state = trainer.state.replace(
+                n_iter=jax.numpy.zeros_like(trainer.state.n_iter)
+            )
+        print(f"restored from {pre} @ iter {trainer.n_iter}")
 
     def cycle():
         # Epoch datasets (the dump loaders) yield ONE pass per batches()
@@ -70,15 +87,168 @@ def cmd_train(args):
     from .data.prefetch import prefetch_batches
 
     last = trainer.fit(
-        # Background producer keeps 2 batches ahead of the device
-        # (data/prefetch.py — the DataLoader-workers role).
-        prefetch_batches(cycle(), depth=2),
+        # Background producer ahead of the device (data/prefetch.py — the
+        # DataLoader-workers role; workers_train bounds the queue depth).
+        prefetch_batches(
+            cycle(),
+            depth=max(2, min(int(cfg.training.workers_train), 8)),
+        ),
         val_stream_fn=lambda: val_ds.batches(bs),
         max_iters=cfg.training.train_iter,
     )
     trainer.save(trainer.n_iter)
     print(json.dumps({k: float(np.asarray(v)) for k, v in last.items()
                       if np.ndim(v) == 0}))
+
+
+def _train_joint_from_config(args):
+    """Config-driven joint SuperPoint + DeepF training (model.if_SP=true
+    — the reference's end-to-end mode, train_good.py:198-251:
+    SuperPointNet_gauss2 + SP_processer/tracker + two optimizers with
+    train/train_SP gating, pretrained/pretrained_SP restore).
+
+    Frontend flags consumed from the config: training.SP_params ->
+    FrontendParams, pretrained_SP/retrain_SP (msgpack or reference
+    .pth.tar), train_SP (frozen stage-1 vs end-to-end stage-2),
+    reset_iter. BatchNorm runs the reference's train-mode semantics
+    while SP trains (train/joint.py bn_mode='train')."""
+    import optax
+    import yaml
+    from flax import serialization
+
+    from .frontend import (
+        SuperPointNetGauss2,
+        frontend_params_from_config,
+        get_matches_from_sp,
+    )
+    from .loader import data_loader, model_loader
+    from .train import MetricLogger, load_config
+    from .train.config import qt_clamps
+    from .train.joint import (
+        JointTrainState,
+        build_solver_batch,
+        make_joint_train_step,
+    )
+
+    cfg = load_config(args.config)
+    if getattr(args, "train_iter", None) is not None:
+        cfg.training.train_iter = args.train_iter
+    cfg.data.with_imgs = True  # the SP path needs the grayscale frames
+    save_dir = os.path.join("logs", args.exper_name)
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, "config.yml"), "w") as f:
+        yaml.safe_dump(json.loads(json.dumps(cfg, default=vars)), f)
+
+    train_ds = data_loader(cfg, "train")
+    bs = cfg.data.batch_size
+    batch0 = next(iter(train_ds.batches(bs)))
+    if "imgs_grey" not in batch0:
+        raise SystemExit(
+            "if_SP training needs image batches: use a dump dataset "
+            "with read_what.with_imgs or dataset: synthetic_images"
+        )
+    import jax.numpy as jnp
+
+    batch0 = {k: jnp.asarray(v) for k, v in batch0.items()}
+
+    mlp_bf16 = cfg.model.mlp_dtype == "bfloat16"
+    sp_net = SuperPointNetGauss2(
+        dtype=jnp.bfloat16 if mlp_bf16 else jnp.float32
+    )
+    deepf_net = model_loader(cfg)
+    fp = frontend_params_from_config(cfg)
+
+    sp_vars = sp_net.init(
+        jax.random.PRNGKey(cfg.training.seed),
+        batch0["imgs_grey"][:, 0][..., None],
+    )
+    if not cfg.training.retrain_SP and cfg.training.pretrained_SP:
+        path = cfg.training.pretrained_SP
+        if path.endswith((".pth", ".pth.tar")):
+            from .utils.torch_import import load_reference_checkpoint
+
+            sp_vars, _ = load_reference_checkpoint(path, kind="auto")
+        else:
+            with open(path, "rb") as f:
+                sp_vars = serialization.from_bytes(sp_vars, f.read())
+    sp_out = get_matches_from_sp(
+        sp_net, sp_vars,
+        (batch0["imgs_grey"][:, 0], batch0["imgs_grey"][:, 1]), fp,
+    )
+    db = build_solver_batch(sp_out, batch0)
+    deepf_params = deepf_net.init(jax.random.PRNGKey(1), db)
+    pre = args.pretrained or (
+        "" if cfg.training.retrain else cfg.training.pretrained
+    )
+    if pre:
+        if pre.endswith((".pth", ".pth.tar")):
+            from .utils.torch_import import load_reference_checkpoint
+
+            deepf_params, _ = load_reference_checkpoint(pre, kind="deepf")
+        else:
+            with open(pre, "rb") as f:
+                deepf_params = serialization.from_bytes(
+                    deepf_params, f.read()
+                )
+
+    tx_deepf = optax.adam(cfg.training.learning_rate)
+    tx_sp = optax.adam(cfg.training.learning_rate * 0.1)
+    state = JointTrainState.create(deepf_params, sp_vars, tx_deepf, tx_sp)
+    step = make_joint_train_step(
+        deepf_net, sp_net, fp, tx_deepf, tx_sp, cfg,
+        train_deepf=cfg.training.train,
+        train_sp=cfg.training.train_SP,
+    )
+    logger = MetricLogger(
+        os.path.join(save_dir, "metrics.jsonl"),
+        tb_dir=os.path.join(save_dir, "runs")
+        if cfg.training.tensorboard else None,
+    )
+
+    def save(n):
+        ckpt_dir = os.path.join(save_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        for name, params in [
+            ("deepFNet", state.deepf_params),
+            ("superPointNet", state.sp_params),
+        ]:
+            p = os.path.join(ckpt_dir, f"{name}_{n}_checkpoint.msgpack")
+            with open(p, "wb") as f:
+                f.write(serialization.to_bytes(jax.device_get(params)))
+
+    def cycle():
+        while True:
+            empty = True
+            for b in train_ds.batches(bs):
+                empty = False
+                yield b
+            if empty:
+                raise RuntimeError("train dataset produced no batches")
+
+    from .data.prefetch import prefetch_batches
+
+    last = {}
+    stream = prefetch_batches(
+        cycle(), depth=max(2, min(int(cfg.training.workers_train), 8))
+    )
+    for it, b in enumerate(stream):
+        if it >= cfg.training.train_iter:
+            break
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        qc, tc = qt_clamps(cfg.training, it)
+        state, m = step(state, b, qc, tc)
+        logger.log(it, "train", m)
+        last = m
+        if (
+            cfg.training.save_interval > 0
+            and (it + 1) % cfg.training.save_interval == 0
+        ):
+            save(it + 1)
+    save(int(np.asarray(state.n_iter)))
+    out = {k: float(np.asarray(v)) for k, v in last.items()
+           if np.ndim(v) == 0}
+    print(json.dumps(out))
+    return out
 
 
 def cmd_eval(args):

@@ -84,6 +84,7 @@ class KittiCorrDataset:
         with_sift_des: bool = False,
         use_h5: bool = False,
         with_X: bool = False,
+        cache_in_memory: bool = False,
     ):
         self.root = Path(dump_root)
         self.delta_ij = delta_ij
@@ -119,6 +120,14 @@ class KittiCorrDataset:
         # like the reference (which attaches them only at batch_size==1,
         # :377-379) they are only allowed in single-item batches.
         self.with_X = with_X
+        # data.cache_in_memory (kitti_odo_corr.py:40 config default):
+        # memoize raw payload reads (match files, sift arrays, frames)
+        # after first touch. The epoch loop re-reads every pair each
+        # pass; the reference relies on the torch Dataset living in
+        # worker processes with the OS page cache — here it is an
+        # explicit dict keyed by path.
+        self.cache_in_memory = cache_in_memory
+        self._arr_cache: dict = {}
         self.zoom_xy = (
             self.resize[1] / image_size[1],
             self.resize[0] / image_size[0],
@@ -195,6 +204,14 @@ class KittiCorrDataset:
         npy reads go through the first-party C++ parser when its shared
         library is built (data/native_loader.py; ~2x numpy on the dump
         files and GIL-releasing for the threaded prefetcher)."""
+        if self.cache_in_memory:
+            key = str(base)
+            if key not in self._arr_cache:
+                self._arr_cache[key] = self._load_arr_uncached(base)
+            return self._arr_cache[key]
+        return self._load_arr_uncached(base)
+
+    def _load_arr_uncached(self, base) -> np.ndarray:
         if self.use_h5:
             from ..utils.io import loadh5
 

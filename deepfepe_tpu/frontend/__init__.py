@@ -1,7 +1,7 @@
 """SuperPoint-style frontend: CNN, NMS, soft-argmax, matching, pipeline."""
 
 from .matching import Matches, descriptor_distance, gather_matches, mutual_nn_match
-from .pipeline import FrontendParams, ValModelHeatmap, get_matches_from_sp, run_superpoint
+from .pipeline import FrontendParams, ValModelHeatmap, frontend_params_from_config, get_matches_from_sp, run_superpoint
 from .process import (
     Keypoints,
     extract_keypoints,

@@ -49,6 +49,20 @@ class FrontendParams:
         self.remat = remat
 
 
+def frontend_params_from_config(cfg) -> FrontendParams:
+    """training.SP_params (train_good.py:199-206) -> FrontendParams.
+
+    Unknown keys in the config dict are rejected loudly (the config
+    audit's no-silent-no-op contract)."""
+    sp = dict(getattr(cfg.training, "sp_params", None) or {})
+    known = {"out_num_points", "patch_size", "nms_dist", "conf_thresh",
+             "nn_thresh", "conv_backend", "remat"}
+    unknown = set(sp) - known
+    if unknown:
+        raise ValueError(f"unknown SP_params keys: {sorted(unknown)}")
+    return FrontendParams(**sp)
+
+
 def _use_fused_convs(fp: FrontendParams) -> bool:
     mode = getattr(fp, "conv_backend", "auto")
     if mode == "fused":

@@ -14,6 +14,19 @@ from .train.config import Config
 def data_loader(cfg: Config, task: str = "train"):
     """Return an object with .batches(batch_size) -> iterator of batch dicts."""
     d = cfg.data
+    # Explicit rejections (see train/config.py audit map): the TPU loader
+    # always emits static-shape match tensors and the q/t ground truth —
+    # a config that turns them off must fail loudly, not silently no-op.
+    if not getattr(d, "with_sift", True):
+        raise ValueError(
+            "read_what.with_sift=false is not supported: the TPU loader "
+            "always emits the match tensors (static-shape batches)"
+        )
+    if not getattr(d, "with_qt", True):
+        raise ValueError(
+            "read_what.with_qt=false is not supported: q_cam/t_cam are "
+            "always derived from the pose tensors"
+        )
     if d.dataset == "synthetic":
         seed = {"train": 0, "val": 1, "test": 2}.get(task, 3)
         gen = SyntheticPairs(
@@ -54,7 +67,29 @@ def data_loader(cfg: Config, task: str = "train"):
             with_sift_des=d.with_sift_des,
             use_h5=d.use_h5,
             with_X=d.with_X,
+            cache_in_memory=d.cache_in_memory,
         )
+    elif d.dataset == "synthetic_images":
+        # Textured image-pair generator (the joint SP+solver data source
+        # the tools drive; exposed as a dataset name so model.if_SP
+        # configs are fully config-driven).
+        from .data.synthetic_images import SyntheticImagePairs
+
+        seed = {"train": 0, "val": 1, "test": 2}.get(task, 3)
+        gen = SyntheticImagePairs(
+            image_size=tuple(d.resize or d.image_size),
+            seed=cfg.training.seed * 10 + seed,
+        )
+
+        class _IStream:
+            def batches(self, batch_size, steps=None):
+                import itertools
+
+                it = itertools.count() if steps is None else range(steps)
+                for _ in it:
+                    yield gen.batch(batch_size)
+
+        return _IStream()
     raise ValueError(f"unknown dataset {d.dataset!r}")
 
 

@@ -42,6 +42,25 @@ class DataConfig:
     use_h5: bool = False
     # read_what.with_X (kitti_odo_corr.py:155-176): lidar point clouds.
     with_X: bool = False
+    # read_what.with_sift / with_qt (kitti_odo_corr.py:74-79): the TPU
+    # loader always emits the match tensors and the q/t ground truth
+    # (static-shape batches want the full schema); turning either OFF is
+    # rejected loudly in loader.data_loader rather than silently no-oped.
+    with_sift: bool = True
+    with_qt: bool = True
+    # read_what.with_SP (kitti_odo_corr.py:76): SuperPoint-frontend dump
+    # trees. Our SP dump creator (data/dump_kitti.dump_sequence_sp)
+    # writes the SAME per-pair ij file layout as the SIFT dumps, so the
+    # one reader serves both; the flag only documents the tree's origin.
+    with_SP: bool = False
+    # data.cache_in_memory (kitti_odo_corr.py:40): memoize per-pair npy
+    # payloads after first read (the reference caches decoded samples in
+    # the torch Dataset). Default False: the native C++ prefetch loader
+    # usually hides read latency without the RSS cost.
+    cache_in_memory: bool = False
+    # data.base_path (table configs): result-tree root for the
+    # Exp_table_processor equivalent (cli tables / eval/results.py).
+    base_path: str = ""
     # Per-task scene lists for dump datasets (ref: per-task {train,val}.txt
     # frame lists + eval configs pinning seqs 09/10, kitti_odo_corr.py:100).
     # None -> crawl every scene directory under dump_root.
@@ -66,6 +85,12 @@ class ModelConfig:
     if_tri_depth: bool = False
     if_qt_loss: bool = False
     if_sample_loss: bool = False
+    # if_cpu_svd (DeepFNet.py:219-230): the reference's CPU round-trip
+    # workaround for MAGMA SVD instability. Accepted and intentionally a
+    # no-op here: the TPU solver is a batched 9x9 Gram eigensolve with a
+    # degenerate-safe custom VJP (ops/eigh.py) — there is no GPU/CPU SVD
+    # split to choose between.
+    if_cpu_svd: bool = True
     if_des: bool = False
     des_size: int = 0
     if_SP: bool = False
@@ -119,6 +144,30 @@ class TrainingConfig:
     retrain: bool = True
     train: bool = True
     pretrained: str = ""
+    # SP-side checkpoint/flag set (train_good.py:230-251 prepare_model
+    # net_postfix='_SP'; consumed by the cli joint path when
+    # model.if_SP): pretrained_SP loads the frontend (msgpack or
+    # reference .pth.tar), retrain_SP=True starts it fresh, train_SP
+    # gates its optimizer (stage-1 frozen vs stage-2 end-to-end).
+    pretrained_SP: str = ""
+    retrain_SP: bool = True
+    train_SP: bool = False
+    # reset_iter[_SP] (train_good.py:331-334): zero the restored
+    # iteration counter after loading a checkpoint.
+    reset_iter: bool = False
+    reset_iter_SP: bool = False
+    # SP_params (train_good.py:199-206): the frontend post-processing
+    # knobs, mapped to frontend.FrontendParams by the joint path.
+    sp_params: dict = field(default_factory=dict)
+    # val_show_interval (Train_model_pipeline TB image cadence): gate the
+    # val-inspection images to validations whose window crosses a
+    # multiple of this many training steps.
+    val_show_interval: int = 100
+    # workers_train/val (utils/loader.py:81-102 DataLoader workers): the
+    # TPU input pipeline is a threaded/native prefetch; the knob bounds
+    # its queue depth.
+    workers_train: int = 16
+    workers_val: int = 2
     # qt-loss clamp curriculum (Train_model_pipeline.py:467-489)
     clamp_iter1: int = 3000
     clamp_iter2: int = 6000
@@ -173,10 +222,31 @@ def config_from_dict(raw: dict) -> Config:
             "with_sift_des", rw.get("with_sift_des", False)
         )
         data_raw.setdefault("with_X", rw.get("with_X", False))
+        data_raw.setdefault("with_sift", rw.get("with_sift", True))
+        data_raw.setdefault("with_qt", rw.get("with_qt", True))
+        data_raw.setdefault("with_SP", rw.get("with_SP", False))
         gamma = rw.get("with_imgs_gamma")
         # The reference treats gamma 1 as a no-op perturbation.
         data_raw.setdefault(
             "with_imgs_gamma", None if gamma in (None, 1, 1.0) else gamma
+        )
+
+    model_raw = dict(raw.get("model", {}))
+    # Reference aliases (train_good.py:182-184): if_img_feat feeds
+    # per-point image features to the weight net (our if_img_w),
+    # if_img_des_to_pointnet is the descriptor-fusion switch (if_des).
+    if "if_img_feat" in model_raw:
+        model_raw.setdefault("if_img_w", model_raw["if_img_feat"])
+    if "if_img_des_to_pointnet" in model_raw:
+        model_raw.setdefault("if_des", model_raw["if_img_des_to_pointnet"])
+    # if_lidar_corres is broken in the reference itself (the loader logs
+    # 'Not loading if_lidar_corres!' and continues,
+    # kitti_odo_corr.py:374); reject it loudly instead of no-oping.
+    if model_raw.get("if_lidar_corres"):
+        raise ValueError(
+            "model.if_lidar_corres is not supported (the reference's own "
+            "loader cannot load it — kitti_odo_corr.py:374); use "
+            "data.read_what.with_X for lidar point clouds"
         )
 
     train_raw = dict(raw.get("training", {}))
@@ -186,11 +256,13 @@ def config_from_dict(raw: dict) -> Config:
         train_raw["skip_optimizer_epi_min"] = skip.get("params", {}).get(
             "epi_min", 0.001
         )
+    if "SP_params" in train_raw and isinstance(train_raw["SP_params"], dict):
+        train_raw["sp_params"] = dict(train_raw["SP_params"])
 
     return Config(
         name=raw.get("name", "exp"),
         data=DataConfig(**_filter_kwargs(DataConfig, data_raw)),
-        model=ModelConfig(**_filter_kwargs(ModelConfig, dict(raw.get("model", {})))),
+        model=ModelConfig(**_filter_kwargs(ModelConfig, model_raw)),
         exps=ExpsConfig(**_filter_kwargs(ExpsConfig, dict(raw.get("exps", {})))),
         training=TrainingConfig(**_filter_kwargs(TrainingConfig, train_raw)),
     )
@@ -212,3 +284,120 @@ def qt_clamps(cfg: TrainingConfig, n_iter: int) -> Tuple[float, float]:
     else:
         i = 2
     return float(cfg.clamp_q_params[i]), float(cfg.clamp_t_params[i])
+
+
+# ---------------------------------------------------------------------------
+# Reference config-knob audit (VERDICT r4 next-step #5)
+# ---------------------------------------------------------------------------
+
+# Keys the reference YAMLs contain that are consumed OUTSIDE the Config
+# dataclasses, keyed by dotted prefix -> the consuming component. The
+# audit test (tests/test_config_audit.py) walks every key of every
+# reference YAML and fails when a knob is neither a Config field, nor
+# listed here, nor explicitly rejected below — i.e. when it would
+# silently no-op.
+_AUDIT_CONSUMED_ELSEWHERE = {
+    "data.seq_dict": "run_eval.py ablation driver (checkpoint matrix)",
+    "data.symbol_dict": "cli tables / eval/results.py Exp_table_processor",
+    "data.thresh": "eval/results.py inlier-ratio thresholds",
+    "data.err_mat": "eval/results.py table entries",
+    "data.mean_mat": "eval/results.py table entries",
+    "data.sp_epiDist": "run_eval.py val_feature ablation entries",
+    "training.SP_params": (
+        "TrainingConfig.sp_params -> frontend.FrontendParams (cli joint "
+        "path / val_feature)"
+    ),
+    "output.": "cli tables / eval/results.py table definitions",
+    "desc": "free-text experiment description (README parity)",
+    "seed": "cli train_good seeding (training.seed mirrors it)",
+    "training.seed": "TrainingConfig.seed",
+}
+
+# Reference knobs whose JOB our architecture removed; accepted in the
+# schema (or raised on) with the reason recorded here. These are the
+# explicit rejections the audit reports.
+_AUDIT_REJECTED = {
+    "model.if_lidar_corres": (
+        "broken in the reference itself (loader logs 'Not loading "
+        "if_lidar_corres!' and continues, kitti_odo_corr.py:374); "
+        "load_config raises if set true"
+    ),
+    "model.if_cpu_svd": (
+        "MAGMA-instability CPU round-trip for torch.svd; the TPU solver "
+        "is a batched Gram eigensolve with degenerate-safe VJP "
+        "(ops/eigh.py) — accepted as a no-op field"
+    ),
+    "data.read_what.with_sift": (
+        "the TPU loader always emits the match tensors (static-shape "
+        "batches); disabling is rejected loudly in loader.data_loader"
+    ),
+    "data.read_what.with_qt": (
+        "q/t gt is always derived from the pose tensors on device; "
+        "disabling is rejected loudly in loader.data_loader"
+    ),
+}
+
+# Renames applied by config_from_dict (reference key -> Config field).
+_AUDIT_RENAMES = {
+    "data.image.size": "data.image_size",
+    "data.preprocessing.resize": "data.resize",
+    "data.read_params.use_h5": "data.use_h5",
+    "data.read_what.with_quality": "data.with_quality",
+    "data.read_what.with_pose": "data.with_pose",
+    "data.read_what.with_imgs": "data.with_imgs",
+    "data.read_what.with_imgs_gamma": "data.with_imgs_gamma",
+    "data.read_what.with_matches_all": "data.with_matches_all",
+    "data.read_what.with_sift_des": "data.with_sift_des",
+    "data.read_what.with_X": "data.with_X",
+    "data.read_what.with_SP": "data.with_SP",
+    "model.if_img_feat": "model.if_img_w",
+    "model.if_img_des_to_pointnet": "model.if_des",
+    "training.SP_params": "training.sp_params",
+    "training.skip_optimizer.enable": "training.skip_optimizer_enable",
+    "training.skip_optimizer.params.epi_min":
+        "training.skip_optimizer_epi_min",
+}
+
+_AUDIT_SECTIONS = {"data": DataConfig, "model": ModelConfig,
+                   "exps": ExpsConfig, "training": TrainingConfig}
+
+
+def audit_reference_config(raw: dict) -> dict:
+    """Classify every key of a reference-layout YAML dict as consumed /
+    rejected / unknown. Returns {'consumed': {...}, 'rejected': {...},
+    'unknown': [...]}; 'unknown' keys are silent no-ops and fail the
+    audit test."""
+    out = {"consumed": {}, "rejected": {}, "unknown": []}
+
+    def classify(dotted: str):
+        for pref, why in _AUDIT_REJECTED.items():
+            if dotted == pref or dotted.startswith(pref + "."):
+                out["rejected"][dotted] = why
+                return
+        for pref, where in _AUDIT_CONSUMED_ELSEWHERE.items():
+            if dotted == pref or dotted.startswith(pref.rstrip(".")):
+                out["consumed"][dotted] = where
+                return
+        target = _AUDIT_RENAMES.get(dotted, dotted)
+        parts = target.split(".")
+        if parts[0] == "name" and len(parts) == 1:
+            out["consumed"][dotted] = "Config.name"
+            return
+        if parts[0] in _AUDIT_SECTIONS and len(parts) >= 2:
+            cls = _AUDIT_SECTIONS[parts[0]]
+            names = {f.name for f in dataclasses.fields(cls)}
+            if parts[1] in names:
+                out["consumed"][dotted] = f"{cls.__name__}.{parts[1]}"
+                return
+        out["unknown"].append(dotted)
+
+    def walk(d, prefix=""):
+        if isinstance(d, dict) and d:
+            for k, v in d.items():
+                walk(v, f"{prefix}{k}." if prefix or True else k)
+        else:
+            classify(prefix[:-1])
+
+    for k, v in (raw or {}).items():
+        walk(v, f"{k}.")
+    return out

@@ -271,7 +271,15 @@ class Trainer:
             count += 1
         means = {k: v / max(count, 1) for k, v in accum.items()}
         self.logger.log(self.n_iter, "val", means)
-        if self.logger._tb is not None and first_sharded is not None:
+        # val_show_interval (Train_model_pipeline TB-image cadence): only
+        # emit the heavy image/histogram summaries when this validation's
+        # window crosses a multiple of the show interval.
+        vsi = getattr(self.cfg.training, "val_show_interval", 0)
+        show = (
+            vsi <= 0
+            or (self.n_iter % vsi) < max(self.cfg.training.val_interval, 1)
+        )
+        if self.logger._tb is not None and first_sharded is not None and show:
             self._log_val_inspection(first_sharded)
         # Best-checkpoint selection (the reference's model zoo picks specific
         # iterations by val; here it's automatic): keep the lowest val loss.

@@ -331,3 +331,43 @@ def test_joint_min_matches_guard():
         )
     )
     assert moved
+
+
+def test_cli_train_good_if_sp_joint_from_config(tmp_path, monkeypatch):
+    """`train_good` with model.if_SP=true runs the config-driven joint
+    SuperPoint+DeepF path (the reference's flagship end-to-end mode,
+    train_good.py:198-251): gauss2 frontend, SP_params -> FrontendParams,
+    train_SP gating, dual checkpoints in the reference's naming."""
+    import yaml
+
+    from deepfepe_tpu.cli import main
+
+    cfg = {
+        "name": "joint_sp_cfg",
+        "data": {"dataset": "synthetic_images", "batch_size": 2,
+                 "good_num": 64,
+                 "image": {"size": [64, 96, 1]},
+                 "preprocessing": {"resize": [64, 96]}},
+        "model": {"name": "GoodCorresNet_layers_deepF", "depth": 2,
+                  "if_SP": True, "if_quality": True,
+                  "mlp_dtype": "float32"},
+        "training": {
+            "train_iter": 2, "save_interval": 2, "learning_rate": 1e-4,
+            "train": True, "train_SP": True,
+            "SP_params": {"out_num_points": 64, "conf_thresh": 1e-4,
+                          "nms_dist": 4, "patch_size": 5,
+                          "nn_thresh": 1.0},
+            "tensorboard": False,
+        },
+    }
+    p = tmp_path / "joint.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    monkeypatch.chdir(tmp_path)
+    out = main(["train_good", str(p), "jsp"])
+    assert np.isfinite(out["loss"])
+    assert out["num_matches"] > 8
+    ckpts = sorted((tmp_path / "logs/jsp/checkpoints").iterdir())
+    names = {c.name for c in ckpts}
+    assert "deepFNet_2_checkpoint.msgpack" in names
+    assert "superPointNet_2_checkpoint.msgpack" in names
+    assert (tmp_path / "logs/jsp/metrics.jsonl").exists()
