@@ -113,19 +113,164 @@ def gauss_newton_step(
     return graph._replace(poses=new_poses), jnp.mean(r0 * r0)
 
 
+def _edge_jacobians(graph: PoseGraph, sqrt_w: jnp.ndarray):
+    """Per-edge residual + analytic-width Jacobian blocks.
+
+    Each edge couples exactly two poses, so its weighted residual
+    r_e(δ_i, δ_j) has a [6, 6] Jacobian per endpoint — jacfwd over 12
+    local variables vmapped across edges, instead of the dense
+    [6E, 6N] jacobian of gauss_newton_step. Returns (r [E,6],
+    Ji [E,6,6], Jj [E,6,6])."""
+    Ti = graph.poses[graph.edges[:, 0]]
+    Tj = graph.poses[graph.edges[:, 1]]
+    M = graph.measurements
+
+    def res(di, dj, Ti_e, Tj_e, M_e, sw_e):
+        T_rel = (se3_exp(dj) @ Tj_e) @ jnp.linalg.inv(se3_exp(di) @ Ti_e)
+        return sw_e * se3_log(jnp.linalg.inv(M_e) @ T_rel)
+
+    zero = jnp.zeros((graph.edges.shape[0], 6), graph.poses.dtype)
+    r = jax.vmap(res)(zero, zero, Ti, Tj, M, sqrt_w)
+    Ji = jax.vmap(jax.jacfwd(res, argnums=0))(zero, zero, Ti, Tj, M, sqrt_w)
+    Jj = jax.vmap(jax.jacfwd(res, argnums=1))(zero, zero, Ti, Tj, M, sqrt_w)
+    return r, Ji, Jj
+
+
+def gauss_newton_step_cg(
+    graph: PoseGraph,
+    damping: float = 1e-6,
+    fix_first: bool = True,
+    huber_delta: float | None = None,
+    dof_mask: jnp.ndarray | None = None,
+    cg_iters: int = 200,
+) -> Tuple[PoseGraph, jnp.ndarray]:
+    """Matrix-free Gauss-Newton step: never materializes H.
+
+    The normal-equation matvec Hx = Σ_e J_eᵀ(J_e x_e) is two gathers, a
+    batched [6,6] matmul pair, and a segment-sum scatter per application
+    — O(E) memory and work, so 10k-100k-frame graphs fit where the dense
+    [6N, 6N] assembly of `gauss_newton_step` cannot (that path stays the
+    exact reference for N ≤ a few hundred). Solved with block-Jacobi
+    preconditioned CG; chain-dominated graphs are ill-conditioned
+    (condition ~ N²) so `cg_iters` should grow with diameter — the
+    per-iteration cost on TPU is microseconds (one fused segment-sum).
+    Gauge fixing and `dof_mask` are projections applied inside the
+    matvec/preconditioner, keeping frozen DoF exactly at zero update."""
+    N = graph.poses.shape[0]
+    E = graph.edges.shape[0]
+    dtype = graph.poses.dtype
+
+    w = graph.weights
+    w = w[:, None] * jnp.ones((1, 6), dtype) if w.ndim == 1 else w
+    if huber_delta is not None:
+        r_now = edge_residuals(graph.poses, graph.edges, graph.measurements)
+        rnorm = jnp.linalg.norm(r_now, axis=-1)
+        w = w * jnp.minimum(1.0, huber_delta / (rnorm + 1e-12))[:, None]
+    sqrt_w = jnp.sqrt(w)
+
+    r, Ji, Jj = _edge_jacobians(graph, sqrt_w)
+    ei, ej = graph.edges[:, 0], graph.edges[:, 1]
+
+    free = jnp.ones((N, 6), dtype)
+    if fix_first:
+        free = free.at[0].set(0.0)
+    if dof_mask is not None:
+        free = free * jnp.asarray(dof_mask, dtype)[None, :]
+
+    def scatter(vals_i, vals_j):
+        return jax.ops.segment_sum(
+            jnp.concatenate([vals_i, vals_j], axis=0),
+            jnp.concatenate([ei, ej], axis=0),
+            num_segments=N,
+        )
+
+    def matvec(x):  # x: [N, 6]
+        x = x * free
+        y = jnp.einsum("eab,eb->ea", Ji, x[ei]) + jnp.einsum(
+            "eab,eb->ea", Jj, x[ej]
+        )  # [E, 6]
+        out = scatter(
+            jnp.einsum("eab,ea->eb", Ji, y),
+            jnp.einsum("eab,ea->eb", Jj, y),
+        )
+        return (out + damping * x) * free
+
+    g = scatter(
+        jnp.einsum("eab,ea->eb", Ji, r), jnp.einsum("eab,ea->eb", Jj, r)
+    ) * free
+
+    # Block-Jacobi preconditioner: per-node 6x6 diagonal blocks of H.
+    B = jax.ops.segment_sum(
+        jnp.concatenate(
+            [jnp.einsum("eab,eac->ebc", Ji, Ji),
+             jnp.einsum("eab,eac->ebc", Jj, Jj)], axis=0
+        ),
+        jnp.concatenate([ei, ej], axis=0),
+        num_segments=N,
+    ) + (damping + 1e-12) * jnp.eye(6, dtype=dtype)
+    # Frozen DoF -> zero rows/cols, 1 on the diagonal (block inverse
+    # stays well-posed and frozen components map to zero).
+    fm = free[:, :, None] * free[:, None, :]
+    B = B * fm + jnp.einsum(
+        "nd,de->nde", 1.0 - free, jnp.eye(6, dtype=dtype)
+    )
+    B_inv = jnp.linalg.inv(B)
+
+    def precond(x):
+        return jnp.einsum("nab,nb->na", B_inv, x) * free
+
+    # Preconditioned CG on H delta = -g.
+    b = -g
+
+    def cg_body(_, state):
+        x, p, rr, rz = state
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(denom > 0, rz / (denom + 1e-30), 0.0)
+        x = x + alpha * p
+        rr = rr - alpha * Ap
+        z = precond(rr)
+        rz_new = jnp.sum(rr * z)
+        beta = jnp.where(rz > 0, rz_new / (rz + 1e-30), 0.0)
+        p = z + beta * p
+        return x, p, rr, rz_new
+
+    x0 = jnp.zeros((N, 6), dtype)
+    z0 = precond(b)
+    state = (x0, z0, b, jnp.sum(b * z0))
+    x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, state)
+
+    new_poses = _apply_delta(graph.poses, x * free)
+    return graph._replace(poses=new_poses), jnp.mean(r * r)
+
+
 def optimize_pose_graph(
     graph: PoseGraph,
     iters: int = 10,
     damping: float = 1e-6,
     huber_delta: float | None = None,
     dof_mask: jnp.ndarray | None = None,
+    solver: str = "auto",
+    cg_iters: int = 200,
 ) -> Tuple[PoseGraph, jnp.ndarray]:
-    """Run `iters` GN steps; returns (graph, per-iter mean residual²)."""
+    """Run `iters` GN steps; returns (graph, per-iter mean residual²).
+
+    solver: 'dense' (exact normal equations — N ≤ a few hundred),
+    'cg' (matrix-free, scales to 10k+ frames), or 'auto' (dense below
+    512 nodes)."""
+    if solver == "auto":
+        solver = "dense" if graph.poses.shape[0] <= 512 else "cg"
     errs = []
     for _ in range(iters):
-        graph, e = gauss_newton_step(
-            graph, damping, huber_delta=huber_delta, dof_mask=dof_mask
-        )
+        if solver == "cg":
+            graph, e = gauss_newton_step_cg(
+                graph, damping, huber_delta=huber_delta,
+                dof_mask=dof_mask, cg_iters=cg_iters,
+            )
+        else:
+            graph, e = gauss_newton_step(
+                graph, damping, huber_delta=huber_delta, dof_mask=dof_mask
+            )
         errs.append(e)
     return graph, jnp.stack(errs)
 
@@ -136,6 +281,8 @@ def optimize_pose_graph_two_stage(
     trans_iters: int = 10,
     damping: float = 1e-6,
     huber_delta: float | None = None,
+    solver: str = "auto",
+    cg_iters: int = 200,
 ) -> Tuple[PoseGraph, jnp.ndarray]:
     """Rotation averaging, then translation refinement with rotations frozen.
 
@@ -162,11 +309,13 @@ def optimize_pose_graph_two_stage(
     g_rot, errs_r = optimize_pose_graph(
         g_rot, iters=rot_iters, damping=damping, huber_delta=huber_delta,
         dof_mask=jnp.asarray([0, 0, 0, 1, 1, 1]),
+        solver=solver, cg_iters=cg_iters,
     )
     g_trans = graph._replace(poses=g_rot.poses)
     g_trans, errs_t = optimize_pose_graph(
         g_trans, iters=trans_iters, damping=damping, huber_delta=huber_delta,
         dof_mask=jnp.asarray([1, 1, 1, 0, 0, 0]),
+        solver=solver, cg_iters=cg_iters,
     )
     return g_trans, jnp.concatenate([errs_r, errs_t])
 

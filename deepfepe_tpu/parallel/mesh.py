@@ -51,10 +51,24 @@ def make_hybrid_mesh(n_model: int = 1) -> Mesh:
     n_hosts = max(1, n_dev // per_host)
     mesh_shape = (n_dev // n_model, n_model)
     if n_hosts > 1:
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(per_host // n_model, n_model),
-            dcn_mesh_shape=(n_hosts, 1),
-        )
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(per_host // n_model, n_model),
+                dcn_mesh_shape=(n_hosts, 1),
+            )
+        except ValueError:
+            # Non-TPU multi-process backends (e.g. the gloo CPU
+            # collectives the launcher test runs on) expose no
+            # slice_index, so create_hybrid_device_mesh sees one slice.
+            # Group by process instead: process-major ordering keeps
+            # each host's shard of the data axis on its own devices —
+            # the same DCN-major layout the hybrid mesh produces.
+            import numpy as _np
+
+            devs = sorted(
+                jax.devices(), key=lambda d: (d.process_index, d.id)
+            )
+            devices = _np.array(devs).reshape(mesh_shape)
     else:
         devices = mesh_utils.create_device_mesh(mesh_shape)
     return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
@@ -70,8 +84,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch dict with the batch axis sharded on `data`."""
+    """Device-put a host batch dict with the batch axis sharded on `data`.
+
+    Single-process: a plain device_put of the full batch. Multi-process
+    (jax.distributed): each process passes its LOCAL rows and the global
+    array is assembled from the per-process shards
+    (jax.make_array_from_process_local_data) — the launcher feeds every
+    process the rows its devices own (launch/train_multihost.py)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as _np
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, _np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--train_iter", type=int, default=None)
+    p.add_argument("--pretrained", default="",
+                   help="checkpoint to restore before training (elastic "
+                        "resume; every process restores the same file)")
     args = p.parse_args()
 
     import jax
@@ -71,18 +74,36 @@ def main():
     )
     trainer = Trainer(net, cfg, save_dir=save_dir, mesh=mesh)
 
-    # Per-host data sharding: each process seeds its stream differently
-    # (the multi-host analogue of the reference's per-worker seeding,
-    # utils/loader.py:43-59).
-    cfg.training.seed = cfg.training.seed * 1000 + jax.process_index()
+    # Process-count-invariant data sharding: every process renders the
+    # GLOBAL batch from the same seed and keeps only the rows its
+    # devices own; shard_batch then assembles the global array from the
+    # per-process shards (make_array_from_process_local_data). The
+    # global batch — and therefore the whole training trajectory — is
+    # bit-identical at any process count, which is what makes the
+    # multi-process run testable against the single-process one
+    # (tests/test_multihost_launcher.py). Deterministic per-host seeding
+    # (the reference's per-worker seeding, utils/loader.py:43-59) is the
+    # shared cfg.training.seed.
     train_ds = data_loader(cfg, "train")
     val_ds = data_loader(cfg, "val")
-    per_host_bs = max(
-        cfg.data.batch_size // jax.process_count(), jax.local_device_count()
-    )
+    gbs = cfg.data.batch_size
+    pid, pcount = jax.process_index(), jax.process_count()
+
+    def local_rows(stream):
+        for b in stream:
+            n = next(iter(b.values())).shape[0]
+            lo, hi = pid * n // pcount, (pid + 1) * n // pcount
+            yield {k: v[lo:hi] for k, v in b.items()}
+
+    if args.pretrained:
+        first = next(iter(local_rows(train_ds.batches(gbs))))
+        trainer.restore(args.pretrained, first)
+        if jax.process_index() == 0:
+            print(f"restored from {args.pretrained} @ iter {trainer.n_iter}")
+
     last = trainer.fit(
-        train_ds.batches(per_host_bs),
-        val_stream_fn=lambda: val_ds.batches(per_host_bs),
+        local_rows(train_ds.batches(gbs)),
+        val_stream_fn=lambda: local_rows(val_ds.batches(gbs)),
         max_iters=cfg.training.train_iter,
     )
     if jax.process_index() == 0:

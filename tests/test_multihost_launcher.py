@@ -87,3 +87,110 @@ def test_launcher_main_single_process(tmp_path, monkeypatch):
     runpy.run_path(launcher, run_name="__main__")
     ckpts = list((tmp_path / "logs" / "mh0").rglob("*.msgpack"))
     assert ckpts, "launcher saved no checkpoint"
+
+
+@pytest.mark.slow
+def test_launcher_two_real_processes_cpu(tmp_path):
+    """VERDICT r4 next-step #3: the launcher as a REAL multi-process job
+    (jax.distributed + gloo CPU collectives, 2 processes x 4 local
+    devices). Asserts: the mesh spans both processes (global = 2x
+    local), training completes with a loss IDENTICAL to the
+    single-process run at the same global batch (the launcher renders
+    process-count-invariant global batches), checkpoint/metrics are
+    written by process 0 only, and --pretrained resume continues from
+    the restored iteration."""
+    import json
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    launcher = os.path.join(repo, "launch", "train_multihost.py")
+    cfg = {
+        "data": {"dataset": "synthetic", "batch_size": 8, "good_num": 64,
+                 "image": {"size": [120, 160, 3]}},
+        "model": {"depth": 2, "clamp_at": 0.02, "mlp_dtype": "float32"},
+        "training": {"learning_rate": 1.0e-4, "train_iter": 2,
+                     "save_interval": 2, "seed": 0, "val_interval": 0,
+                     "tensorboard": False},
+    }
+    cfg_path = tmp_path / "mh.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "import os, sys\n"
+        "os.environ['XLA_FLAGS'] = "
+        "'--xla_force_host_platform_device_count=4'\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_cpu_collectives_implementation', 'gloo')\n"
+        "sys.argv = ['train_multihost.py'] + sys.argv[1:]\n"
+        "import runpy\n"
+        f"runpy.run_path({launcher!r}, run_name='__main__')\n"
+    )
+
+    def run_pair(exper, extra=(), port=29541):
+        common = [sys.executable, str(driver), "--config", str(cfg_path),
+                  "--exper", exper, "--coordinator", f"localhost:{port}",
+                  "--num_processes", "2", *extra]
+        procs = [
+            subprocess.Popen(
+                common + ["--process_id", str(k)], cwd=tmp_path,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for k in (0, 1)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        assert all(p.returncode == 0 for p in procs), outs
+        return outs
+
+    outs = run_pair("mh2")
+    # The mesh spans both processes: 2 x 4 local = 8 global devices.
+    assert "processes=2 devices=8" in outs[0] + outs[1], outs
+    log_dir = tmp_path / "logs" / "mh2"
+    ckpts = sorted(p.name for p in (log_dir / "checkpoints").iterdir())
+    assert "deepFNet_2_checkpoint.msgpack" in ckpts
+    lines = [json.loads(l) for l in
+             (log_dir / "metrics.jsonl").read_text().splitlines()]
+    mp_losses = {r["iter"]: r["loss"] for r in lines if r["tag"] == "train"}
+    assert set(mp_losses) == {0, 1} and all(
+        np.isfinite(v) for v in mp_losses.values()
+    )
+    # Process 0 wrote everything; process 1 wrote nothing (its save_dir
+    # is None) — the only logs/ entries are mh2's.
+    assert sorted(p.name for p in (tmp_path / "logs").iterdir()) == ["mh2"]
+
+    # Single-process run, same config: the launcher's global batches are
+    # process-count-invariant, so the losses must match.
+    sp = subprocess.run(
+        [sys.executable, str(driver), "--config", str(cfg_path),
+         "--exper", "mh1"], cwd=tmp_path, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert sp.returncode == 0, sp.stdout + sp.stderr
+    lines1 = [json.loads(l) for l in
+              (tmp_path / "logs/mh1/metrics.jsonl").read_text().splitlines()]
+    sp_losses = {r["iter"]: r["loss"] for r in lines1
+                 if r["tag"] == "train"}
+    # Iter 0 is pre-update: identical global batch + identical init must
+    # give the SAME loss up to f32 reduction order (tight tolerance —
+    # this is the data-identity check). Iter 1 has been through one
+    # cross-process gradient psum + Adam update, whose reduction order
+    # differs from the single-device sum; allow accumulated f32 noise.
+    np.testing.assert_allclose(mp_losses[0], sp_losses[0], rtol=1e-6)
+    np.testing.assert_allclose(mp_losses[1], sp_losses[1], rtol=5e-4)
+
+    # Resume: restore the 2-process checkpoint in a fresh 2-process job
+    # and continue to iter 3.
+    cfg["training"]["train_iter"] = 3
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    ckpt = str(log_dir / "checkpoints" / "deepFNet_2_checkpoint.msgpack")
+    outs2 = run_pair("mh2r", extra=["--pretrained", ckpt], port=29543)
+    assert "restored" in outs2[0], outs2[0]
+    lines2 = [json.loads(l) for l in
+              (tmp_path / "logs/mh2r/metrics.jsonl").read_text().splitlines()]
+    resumed = {r["iter"] for r in lines2 if r["tag"] == "train"}
+    assert resumed == {2}, resumed  # continues exactly where it stopped

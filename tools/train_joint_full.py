@@ -149,6 +149,14 @@ def main():
                          "short runs. Overrides --clamp_curriculum.")
     ap.add_argument("--clamp_headroom", type=float, default=1.5)
     ap.add_argument("--clamp_check_every", type=int, default=50)
+    ap.add_argument("--bn_recalib", type=int, default=0,
+                    help="before the end-to-end stage, run N buffer-only "
+                         "train-mode BN forwards (no optimizer) so the "
+                         "running stats converge to the production data "
+                         "domain first — removes the eval->train BN mode "
+                         "shock when the pretrain's stats are stale "
+                         "(measured: matches halve at stage-2 iter 0 "
+                         "without it, experiments/r5_bn_train_ab)")
     ap.add_argument("--bn_mode", default="train",
                     choices=["train", "frozen"],
                     help="BatchNorm mode while SP trains end-to-end: "
@@ -258,6 +266,33 @@ def main():
             deepf_net, sp_net, fp, tx_deepf, tx_sp, cfg,
             train_deepf=True, train_sp=train_sp, bn_mode=args.bn_mode,
         )
+        if (
+            train_sp and args.bn_recalib > 0 and args.bn_mode == "train"
+            and isinstance(state.sp_params, dict)
+            and "batch_stats" in state.sp_params
+        ):
+            @jax.jit
+            def _recalib(sp_params, imgs):
+                out = get_matches_from_sp(
+                    sp_net, sp_params, (imgs[:, 0], imgs[:, 1]), fp,
+                    bn_train=True,
+                )
+                sp_params = dict(sp_params)
+                sp_params["batch_stats"] = out["new_batch_stats"]
+                return sp_params, jnp.sum(
+                    out["valid"].astype(jnp.float32)
+                ) / imgs.shape[0]
+
+            sp_params = state.sp_params
+            nm = -1.0
+            for _ in range(args.bn_recalib):
+                rb = {k: jnp.asarray(v)
+                      for k, v in ds.batch(args.batch).items()}
+                sp_params, nm = _recalib(sp_params, rb["imgs_grey"])
+            state = state.replace(sp_params=sp_params)
+            log({"stage": f"bn_recalib_before_{stage}",
+                 "iters": args.bn_recalib,
+                 "train_mode_matches": round(float(np.asarray(nm)), 1)})
         # Host-side threaded prefetch: rendering is numpy (releases the
         # GIL), so 3 workers overlap data gen with the device step.
         import queue as _queue
