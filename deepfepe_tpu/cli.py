@@ -920,15 +920,35 @@ def cmd_infer(args):
 
 
 def cmd_export_torch(args):
-    """Export a trained solver checkpoint to the reference's .pth.tar
-    format, so models trained HERE run in the reference stack unmodified
-    (the inverse of --pretrained's torch import)."""
+    """Export a trained checkpoint to the reference's .pth.tar format,
+    so models trained HERE run in the reference stack unmodified (the
+    inverse of --pretrained's torch import). --superpoint exports a
+    gauss2 SuperPoint checkpoint (incl. BN running statistics) instead
+    of the solver."""
     import jax.numpy as jnp
 
     from .data import SyntheticPairs
     from .loader import model_loader
     from .train import load_config
     from .utils.torch_import import save_reference_checkpoint
+
+    if getattr(args, "superpoint", False):
+        from flax import serialization
+
+        from .frontend import SuperPointNetGauss2
+        from .utils.torch_import import save_superpoint_checkpoint
+
+        sp_net = SuperPointNetGauss2()
+        template = sp_net.init(
+            jax.random.PRNGKey(0),
+            jax.numpy.zeros((1, 64, 96, 1), jax.numpy.float32),
+        )
+        with open(args.checkpoint, "rb") as f:
+            variables = serialization.from_bytes(template, f.read())
+        save_superpoint_checkpoint(variables, args.out, n_iter=args.n_iter)
+        print(json.dumps({"out": args.out, "n_iter": args.n_iter,
+                          "kind": "superpoint_gauss2"}))
+        return args.out
 
     cfg = load_config(args.config)
     net = model_loader(cfg)
@@ -1197,12 +1217,17 @@ def main(argv=None):
                              "effective matches")
         sp.set_defaults(fn=fn)
     sp = sub.add_parser("export_torch",
-                        help="export a solver checkpoint to the "
-                             "reference .pth.tar format")
-    sp.add_argument("config", help="model config YAML (arch must match)")
+                        help="export a solver (or --superpoint gauss2) "
+                             "checkpoint to the reference .pth.tar format")
+    sp.add_argument("config", help="model config YAML (arch must match; "
+                                   "ignored with --superpoint)")
     sp.add_argument("checkpoint", help="our .msgpack checkpoint")
     sp.add_argument("out", help="output .pth.tar path")
     sp.add_argument("--n_iter", type=int, default=0)
+    sp.add_argument("--superpoint", action="store_true",
+                    help="the checkpoint is a SuperPointNetGauss2 "
+                         "frontend (exports conv + BN params AND the "
+                         "running statistics)")
     sp.set_defaults(fn=cmd_export_torch)
     sp = sub.add_parser("verify_dump",
                         help="dump-tree integrity check (playbook step 0)")

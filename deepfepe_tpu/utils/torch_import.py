@@ -326,3 +326,72 @@ def save_reference_checkpoint(
         },
         path,
     )
+
+
+def export_superpoint_gauss2_state(variables: Dict) -> Dict:
+    """`frontend.SuperPointNetGauss2` flax variables -> the torch
+    state_dict layout of pytorch-superpoint's SuperPointNet_gauss2 —
+    the exact inverse of convert_superpoint_gauss2_state, INCLUDING the
+    BatchNorm running statistics (mean/var -> running_mean/running_var
+    + num_batches_tracked), so SuperPoint checkpoints fine-tuned HERE
+    load into the reference stack unmodified (train_good.py:198-237)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict = {}
+    inv_seq = {"conv0": "0", "bn0": "1", "conv1": "3", "bn1": "4"}
+
+    def put_conv(prefix: str, p: Dict) -> None:
+        sd[prefix + ".weight"] = np.ascontiguousarray(
+            np.asarray(p["kernel"]).transpose(3, 2, 0, 1)
+        )
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+    def put_bn(prefix: str, p: Dict, s: Dict) -> None:
+        sd[prefix + ".weight"] = np.asarray(p["scale"])
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+        sd[prefix + ".running_mean"] = np.asarray(s["mean"])
+        sd[prefix + ".running_var"] = np.asarray(s["var"])
+        sd[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    for block in ("inc", "down1", "down2", "down3"):
+        base = (
+            f"{block}.conv.conv" if block == "inc"
+            else f"{block}.mpconv.1.conv"
+        )
+        for name, idx in inv_seq.items():
+            if name.startswith("conv"):
+                put_conv(f"{base}.{idx}", params[block][name])
+            else:
+                put_bn(
+                    f"{base}.{idx}", params[block][name],
+                    stats[block][name],
+                )
+    for head in ("convPa", "convPb", "convDa", "convDb"):
+        put_conv(head, params[head])
+    for head in ("bnPa", "bnPb", "bnDa", "bnDb"):
+        put_bn(head, params[head], stats[head])
+    return sd
+
+
+def save_superpoint_checkpoint(
+    variables: Dict, path: str, n_iter: int = 0
+) -> None:
+    """Write a reference-format superPointNet .pth.tar (the
+    save_checkpoint schema the joint trainer uses for its SP side,
+    Train_model_pipeline.py:1160-1185) from our flax gauss2 variables."""
+    import torch
+
+    sd = {
+        k: torch.tensor(np.ascontiguousarray(v))
+        for k, v in export_superpoint_gauss2_state(variables).items()
+    }
+    torch.save(
+        {
+            "n_iter": int(n_iter),
+            "n_iter_val": 0,
+            "model_state_dict": sd,
+            "optimizer_state_dict": {},
+            "loss": 0.0,
+        },
+        path,
+    )

@@ -143,11 +143,11 @@ def test_gauss2_train_mode_forward_and_buffers_vs_torch():
     sd = tnet.state_dict()
     np.testing.assert_allclose(
         np.asarray(variables["batch_stats"]["inc"]["bn0"]["mean"]),
-        sd["inc.conv.1.running_mean"].numpy(), atol=1e-5,
+        sd["inc.conv.conv.1.running_mean"].numpy(), atol=1e-5,
     )
     np.testing.assert_allclose(
         np.asarray(variables["batch_stats"]["inc"]["bn0"]["var"]),
-        sd["inc.conv.1.running_var"].numpy(), atol=1e-4,
+        sd["inc.conv.conv.1.running_var"].numpy(), atol=1e-4,
     )
     np.testing.assert_allclose(
         np.asarray(variables["batch_stats"]["down3"]["bn1"]["mean"]),

@@ -241,7 +241,11 @@ def _torch_gauss2(seed=0):
             det_h = 65
             self.relu = tnn.ReLU(inplace=True)
             self.pool = tnn.MaxPool2d(kernel_size=2, stride=2)
-            self.inc = double_conv(1, c1)
+            # Real pytorch-superpoint nesting: inc = inconv whose .conv
+            # is the double_conv module -> state-dict path inc.conv.conv.*
+            self.inc = tnn.Module()
+            self.inc.conv = double_conv(1, c1)
+            self.inc.forward = lambda x, _m=self.inc: _m.conv(x)
             self.down1 = tnn.Module()
             self.down1.mpconv = tnn.Sequential(
                 tnn.MaxPool2d(2), double_conv(c1, c2)
@@ -434,3 +438,102 @@ def test_export_loads_into_live_reference_net(tmp_path):
         return M * sign
 
     np.testing.assert_allclose(canon(F_t), canon(F_j), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_superpoint_gauss2_export_roundtrip(tmp_path):
+    """Symmetric SP checkpoint export (VERDICT r4 weak #5): our trained
+    gauss2 variables -> reference .pth.tar -> (a) the torch
+    SuperPointNet_gauss2 replica loads it strict and matches our
+    forward; (b) re-import through the auto-detecting loader is
+    bit-exact, INCLUDING the BN running statistics."""
+    import os
+
+    from flax import serialization
+
+    from deepfepe_tpu.frontend import SuperPointNetGauss2
+    from deepfepe_tpu.utils.torch_import import (
+        load_reference_checkpoint,
+        save_superpoint_checkpoint,
+    )
+
+    net = SuperPointNetGauss2()
+    # The round-4 fine-tuned production frontend if present, else a
+    # freshly initialized one with non-trivial stats.
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "experiments/joint_fullres_train_qt3/"
+        "superPoint_stage2_end_to_end.msgpack",
+    )
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, size=(2, 64, 96, 1)).astype(np.float32)
+    template = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    if os.path.exists(ckpt):
+        with open(ckpt, "rb") as f:
+            variables = serialization.from_bytes(template, f.read())
+    else:
+        variables = template
+
+    out = tmp_path / "sp_export.pth.tar"
+    save_superpoint_checkpoint(variables, str(out), n_iter=77)
+
+    # (a) strict load into the torch replica + forward parity.
+    tnet = _torch_gauss2(seed=0)
+    payload = torch.load(str(out), weights_only=False)
+    assert payload["n_iter"] == 77
+    missing = tnet.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in
+         payload["model_state_dict"].items()}, strict=True
+    )
+    tnet.eval()
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = net.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(ours["semi"]),
+        ref["semi"].numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["desc"]),
+        ref["desc"].numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4,
+    )
+
+    # (b) bit-exact re-import, including running statistics.
+    back, n_iter = load_reference_checkpoint(str(out), kind="auto")
+    assert n_iter == 77
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    b_by_path = {jax.tree_util.keystr(p): v for p, v in flat_b}
+    for p, v in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(b_by_path[jax.tree_util.keystr(p)]),
+            err_msg=jax.tree_util.keystr(p),
+        )
+
+
+def test_cli_export_torch_superpoint(tmp_path, monkeypatch):
+    """`cli export_torch --superpoint`: msgpack frontend -> reference
+    superPointNet .pth.tar, auto-detected by the importer."""
+    from flax import serialization
+
+    from deepfepe_tpu.cli import main
+    from deepfepe_tpu.frontend import SuperPointNetGauss2
+    from deepfepe_tpu.utils.torch_import import load_reference_checkpoint
+
+    net = SuperPointNetGauss2()
+    variables = net.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 64, 96, 1), jnp.float32)
+    )
+    src = tmp_path / "sp.msgpack"
+    with open(src, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    out = tmp_path / "sp.pth.tar"
+    main(["export_torch", "unused.yaml", str(src), str(out),
+          "--superpoint", "--n_iter", "5"])
+    back, n_iter = load_reference_checkpoint(str(out), kind="auto")
+    assert n_iter == 5
+    np.testing.assert_array_equal(
+        np.asarray(variables["batch_stats"]["inc"]["bn0"]["var"]),
+        np.asarray(back["batch_stats"]["inc"]["bn0"]["var"]),
+    )
