@@ -479,6 +479,42 @@ def bench_ransac():
     return BATCH / dt
 
 
+def bench_ba():
+    """Schur-complement BA at SfM scale (C=100 keyframes, P=10k
+    landmarks, windowed visibility): ms/iter + observations/s via the
+    marginal-cost protocol. The full scaling table (P=1k/10k/100k,
+    sqrt-BA, pose-graph) lives in tools/bench_ba.py; this row keeps the
+    headline number flowing round over round (VERDICT r4 #4)."""
+    from deepfepe_tpu import ba
+    from deepfepe_tpu.ba import make_sfm_problem
+
+    rng = np.random.RandomState(0)
+    prob, _, _, _ = make_sfm_problem(rng, C=100, P=10_000)
+
+    @jax.jit
+    def step(p):
+        p2, _ = ba.ba_step(p, damping=1e-3)
+        return p2
+
+    def run(n, x):
+        for _ in range(n):
+            x = step(x)
+        return float(np.asarray(jnp.sum(x.points[0]))), x
+
+    _ = run(2, prob)
+    vals = []
+    for _ in range(5):
+        t0 = time.time()
+        run(6, prob)
+        t1 = time.time()
+        run(12, prob)
+        t2 = time.time()
+        vals.append(((t2 - t1) - (t1 - t0)) / 6 * 1000.0)
+    ms = float(np.median(vals))
+    n_obs = float(np.asarray(prob.vis).sum())
+    return ms, n_obs / (ms / 1e3)
+
+
 def main():
     import sys
 
@@ -506,6 +542,12 @@ def main():
         joint_fullres, joint_fullres_mfu = None, None
     note(f"bench: full-res joint {joint_fullres}; ransac...")
     ransac = bench_ransac()
+    note(f"bench: ransac {ransac:.1f}; BA (C=100, P=10k)...")
+    try:
+        ba_ms, ba_obs_per_s = bench_ba()
+    except Exception as e:  # noqa: BLE001
+        note(f"ba bench unavailable: {e!r}")
+        ba_ms, ba_obs_per_s = None, None
 
     rnd = lambda v, k=2: None if v is None else round(v, k)
     print(
@@ -529,6 +571,8 @@ def main():
                         1,
                     ),
                     "solver_spread": rnd(solver_spread, 3),
+                    "ba_ms_per_iter": rnd(ba_ms),
+                    "ba_obs_per_s": rnd(ba_obs_per_s, 0),
                 },
             }
         )

@@ -18,6 +18,7 @@ from .distributed import (
     shard_ba_inputs,
 )
 from .sqrt_ba import optimize_sqrt_ba, sqrt_ba_step
+from .synthetic import make_sfm_problem
 from .pose_graph import (
     PoseGraph,
     edge_residuals,

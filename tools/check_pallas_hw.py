@@ -201,6 +201,82 @@ def conv_s2d():
     return max(float(err), gerr)
 
 
+def conv_s2d_timing():
+    """Standing s2d-vs-native conv timing (VERDICT r4 next-step #7).
+
+    Round 4 measured the s2d-by-2 formulation at 96.8% MXU ISOLATED
+    (2.2x over XLA's native 64-channel full-res schedule) but the
+    [*,W,64]<->[*,W/2,128] layout shuffles erase the win in the full
+    encoder graph on that axon XLA — so native stays the production
+    default. This check re-measures the isolated ratio EVERY hardware
+    run: if an XLA upgrade changes layout assignment, the printed
+    speedup moving toward ~2x is the signal to re-bench the in-graph
+    paths (DEEPFEPE_SP_CONV_IMPL=s2d) the same round. Full analysis:
+    ROADMAP round-4 compute-floor table.
+    """
+    import time
+
+    from deepfepe_tpu.ops.pallas.conv_pallas import (
+        conv3x3_affine_relu,
+        conv3x3_affine_relu_ref,
+    )
+
+    rng = np.random.RandomState(7)
+    # The production pathology shape: full-res 64-channel encoder conv.
+    x = jnp.asarray(rng.randn(4, 376, 1240, 64).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    w = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    sc = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    bi = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+
+    def fwd_bwd(fn):
+        def loss(x, w, sc, bi):
+            return jnp.sum(fn(x, w, sc, bi).astype(jnp.float32))
+
+        g = jax.grad(loss, (0, 1))
+
+        @jax.jit
+        def run(x, w, sc, bi):
+            gx, gw = g(x, w, sc, bi)
+            return jnp.sum(gw.astype(jnp.float32))
+
+        return run
+
+    def t_ms(run, iters=20):
+        _ = float(np.asarray(run(x, w, sc, bi)))  # compile
+        vals = []
+        for _k in range(3):
+            t0 = time.time()
+            acc = 0.0
+            for _ in range(iters):
+                acc = run(x, w, sc, bi)
+            _ = float(np.asarray(acc))
+            t1 = time.time()
+            acc = 0.0
+            for _ in range(2 * iters):
+                acc = run(x, w, sc, bi)
+            _ = float(np.asarray(acc))
+            t2 = time.time()
+            vals.append(((t2 - t1) - (t1 - t0)) / iters * 1000.0)
+        return float(np.median(vals))
+
+    native_ms = t_ms(fwd_bwd(conv3x3_affine_relu_ref))
+    s2d_ms = t_ms(
+        fwd_bwd(lambda *a: conv3x3_affine_relu(*a, backend="s2d"))
+    )
+    speedup = native_ms / max(s2d_ms, 1e-9)
+    print(json.dumps({
+        "kernel": "conv_s2d_timing", "ok": True,
+        "native_ms": round(native_ms, 2), "s2d_ms": round(s2d_ms, 2),
+        "s2d_isolated_speedup": round(speedup, 2),
+        "note": ("s2d stays opt-in; if this isolated speedup appears "
+                 "in-graph after an XLA upgrade, flip "
+                 "DEEPFEPE_SP_CONV_IMPL=s2d and re-bench"),
+    }), flush=True)
+    return True
+
+
 def main():
     print(f"# devices: {jax.devices()}", file=sys.stderr)
     ok = True
@@ -210,6 +286,11 @@ def main():
     ok &= check("mlp_pallas", mlp)
     ok &= check("conv_pallas", conv)
     ok &= check("conv_s2d", conv_s2d)
+    try:
+        conv_s2d_timing()
+    except Exception as e:  # noqa: BLE001 — timing is advisory
+        print(json.dumps({"kernel": "conv_s2d_timing", "ok": False,
+                          "note": repr(e)[:300]}), flush=True)
     sys.exit(0 if ok else 1)
 
 
