@@ -95,6 +95,7 @@ def test_kitti_load_arr_uses_native(tmp_path):
     np.save(tmp_path / "x.npy", a)
     ds = KittiCorrDataset.__new__(KittiCorrDataset)  # no crawl needed
     ds.use_h5 = False
+    ds.cache_in_memory = False
     out = ds._load_arr(tmp_path / "x")
     np.testing.assert_array_equal(out, a)
     assert native_available() in (True, False)  # builds or falls back
