@@ -685,7 +685,17 @@ def cmd_val_feature(args):
 
     stream = batch_iter()
     sp_net = SuperPointNet()
-    fp = FrontendParams(out_num_points=300, conf_thresh=1e-3)
+    # Honor the config's SP_params knob set when present (the reference's
+    # val_feature reads the same training.SP_params block,
+    # evaluation_epiDist.py:98-102); CLI default otherwise.
+    if getattr(args, "config", "") and getattr(
+        cfg.training, "sp_params", None
+    ):
+        from .frontend import frontend_params_from_config
+
+        fp = frontend_params_from_config(cfg)
+    else:
+        fp = FrontendParams(out_num_points=300, conf_thresh=1e-3)
 
     batch = next(stream)
     converted = None
