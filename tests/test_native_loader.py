@@ -99,3 +99,25 @@ def test_kitti_load_arr_uses_native(tmp_path):
     out = ds._load_arr(tmp_path / "x")
     np.testing.assert_array_equal(out, a)
     assert native_available() in (True, False)  # builds or falls back
+
+
+def test_kitti_cache_in_memory_memoizes(tmp_path):
+    """data.cache_in_memory (kitti_odo_corr.py:40): payload reads are
+    memoized after first touch — same object back, no re-read."""
+    import numpy as np
+
+    from deepfepe_tpu.data.kitti import KittiCorrDataset
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.save(tmp_path / "y.npy", a)
+    ds = KittiCorrDataset.__new__(KittiCorrDataset)
+    ds.use_h5 = False
+    ds.cache_in_memory = True
+    ds._arr_cache = {}
+    out1 = ds._load_arr(tmp_path / "y")
+    np.testing.assert_array_equal(out1, a)
+    # Mutate the file on disk: the cached array must still be served.
+    np.save(tmp_path / "y.npy", a * 0)
+    out2 = ds._load_arr(tmp_path / "y")
+    assert out2 is out1
+    np.testing.assert_array_equal(out2, a)
