@@ -149,6 +149,17 @@ def main():
                          "short runs. Overrides --clamp_curriculum.")
     ap.add_argument("--clamp_headroom", type=float, default=1.5)
     ap.add_argument("--clamp_check_every", type=int, default=50)
+    ap.add_argument("--clamp_q0", type=float, default=0.1,
+                    help="scheduler start q clamp (reference loosest)")
+    ap.add_argument("--clamp_t0", type=float, default=0.5,
+                    help="scheduler start t clamp; when median t errors "
+                         "exceed the reference's loosest 0.5 (chord "
+                         "units; 0.5 ~ 29 deg) a looser start keeps "
+                         "gradient signal — measured: r5_long_qt slid "
+                         "into full saturation at 0.5")
+    ap.add_argument("--save_every", type=int, default=0,
+                    help="also checkpoint every N iters inside a stage "
+                         "(tag <stage>_it<N>); 0 = stage-end only")
     ap.add_argument("--bn_recalib", type=int, default=0,
                     help="before the end-to-end stage, run N buffer-only "
                          "train-mode BN forwards (no optimizer) so the "
@@ -248,6 +259,7 @@ def main():
     sched = None
     if args.clamp_quantile > 0 and args.qt:
         sched = QuantileClampScheduler(
+            q0=args.clamp_q0, t0=args.clamp_t0,
             quantile=args.clamp_quantile,
             headroom=args.clamp_headroom,
             check_every=args.clamp_check_every,
@@ -328,6 +340,8 @@ def main():
                 qc, tc = qt_clamps(cfg.training, global_it)
             state, m = step(state, b, qc, tc)
             global_it += 1
+            if args.save_every > 0 and (it + 1) % args.save_every == 0:
+                save(f"{stage}_it{it + 1}")
             skipped += int(float(np.asarray(m.get("skipped_update", 0.0))))
             if sched is not None:
                 sched.update(np.asarray(m["q_l2_final"]),
