@@ -191,8 +191,11 @@ def _train_joint_from_config(args):
                     deepf_params, f.read()
                 )
 
+    # Reference parity: BOTH optimizers use training.learning_rate
+    # (prepare_model builds each Adam from the same config knob,
+    # train_good.py:317).
     tx_deepf = optax.adam(cfg.training.learning_rate)
-    tx_sp = optax.adam(cfg.training.learning_rate * 0.1)
+    tx_sp = optax.adam(cfg.training.learning_rate)
     state = JointTrainState.create(deepf_params, sp_vars, tx_deepf, tx_sp)
     step = make_joint_train_step(
         deepf_net, sp_net, fp, tx_deepf, tx_sp, cfg,

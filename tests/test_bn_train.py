@@ -215,3 +215,29 @@ def test_quantile_clamp_scheduler_settles_above_error_quantile():
     assert 0.015 < qc < 0.030
     frac_unsat_q = 0.0 + np.mean(rng.uniform(0, 0.02, 1000) < qc)
     assert frac_unsat_q > 0.5  # most items keep gradient signal
+
+
+def test_per_item_final_errors_exposed_for_scheduler():
+    """compute_losses exposes per-item UNCLAMPED final-layer q/t errors
+    ([B]) when the qt loss is on — the quantile clamp scheduler's
+    input."""
+    from deepfepe_tpu.data import SyntheticPairs
+    from deepfepe_tpu.models import DeepFNet
+    from deepfepe_tpu.train import Config
+    from deepfepe_tpu.train.engine import compute_losses
+
+    cfg = Config()
+    cfg.model.depth = 2
+    cfg.model.if_qt_loss = True
+    cfg.data.good_num = 32
+    batch = {k: jnp.asarray(v) for k, v in
+             SyntheticPairs(good_num=32, seed=0,
+                            image_size=(120, 160)).batch(3).items()}
+    net = DeepFNet(depth=2, image_size=(120, 160))
+    params = net.init(jax.random.PRNGKey(0), batch)
+    _, m = compute_losses(net, params, batch, cfg, 0.1, 0.5)
+    assert m["q_l2_final"].shape == (3,)
+    assert m["t_l2_final"].shape == (3,)
+    assert np.all(np.isfinite(np.asarray(m["q_l2_final"])))
+    # Unclamped: values may exceed the clamps (chord distance <= 2).
+    assert float(np.asarray(m["t_l2_final"]).max()) <= 2.0 + 1e-6
