@@ -21,12 +21,25 @@ already pay for metric logging.
 Rule, per clamp c and error window E (checked every `check_every`
 updates over a sliding window of the last `window` per-item errors):
 
-    target = headroom * quantile(E, q)        # clamp sits above the bulk
-    c'     = clip(target, max_shrink * c, c)  # monotone, bounded shrink
-    c'     = max(c', floor)                   # reference's tightest level
+    target = headroom * quantile(E, q)            # clamp sits above the bulk
+    c'     = clip(target, max_shrink*c, max_grow*c)  # bounded move per check
+    c'     = clip(c', floor, c0)                  # reference curriculum ends
 
-so at most `1 - max_shrink` of the clamp is removed per check, the clamp
-never loosens, and at steady state ~q of the items keep gradient signal.
+so at most `1 - max_shrink` of the clamp is removed (or `max_grow - 1`
+added) per check, and at steady state ~q of the items keep gradient
+signal IN BOTH DIRECTIONS.
+
+Bidirectionality is load-bearing, not a nicety (round-5 measured
+failure, experiments/r5_frozen_qsched): a monotone tighten-only
+scheduler parked q_clamp at 0.0075 while the q errors were ~0, and when
+later t-driven updates pushed q errors outside the clamp, every item
+saturated — the clamped loss contributes a CONSTANT for saturated
+items, so the training loss was blind to a runaway to median err_q 121
+deg on held-out pairs (training loss stayed 0.4-0.46 throughout).
+Re-opening the clamp when the measured quantile escapes above it
+restores the corrective gradient exactly when drift starts; the cap at
+the start level (c0, the reference's loosest curriculum stage) keeps
+the loss surface inside the reference's own operating envelope.
 """
 
 from __future__ import annotations
@@ -56,28 +69,36 @@ class QuantileClampScheduler:
         check_every: int = 50,
         window: int = 400,
         max_shrink: float = 0.5,
+        max_grow: float = 2.0,
     ):
         self.q_clamp = float(q0)
         self.t_clamp = float(t0)
+        self.q_ceil = float(q0)
+        self.t_ceil = float(t0)
         self.q_floor = float(q_floor)
         self.t_floor = float(t_floor)
         self.quantile = float(quantile)
         self.headroom = float(headroom)
         self.check_every = int(check_every)
         self.max_shrink = float(max_shrink)
+        self.max_grow = float(max_grow)
         self._q_errs: deque = deque(maxlen=int(window))
         self._t_errs: deque = deque(maxlen=int(window))
         self._n_updates = 0
         self.n_tightenings = 0
+        self.n_loosenings = 0
 
-    def _tighten(self, clamp: float, floor: float, errs: deque) -> float:
+    def _retarget(self, clamp: float, floor: float, ceil: float,
+                  errs: deque) -> float:
         e = np.asarray(errs, np.float64)
         e = e[np.isfinite(e)]
         if e.size == 0:
             return clamp
         target = self.headroom * float(np.quantile(e, self.quantile))
-        new = min(clamp, max(target, self.max_shrink * clamp, floor))
-        return new
+        # Bounded move toward the target, clipped to [floor, ceil].
+        new = min(max(target, self.max_shrink * clamp),
+                  self.max_grow * clamp)
+        return min(max(new, floor), ceil)
 
     def update(self, q_errs, t_errs) -> Tuple[float, float]:
         """Feed one step's per-item unclamped errors; returns the clamps
@@ -86,10 +107,14 @@ class QuantileClampScheduler:
         self._t_errs.extend(np.ravel(np.asarray(t_errs, np.float64)))
         self._n_updates += 1
         if self._n_updates % self.check_every == 0 and len(self._q_errs):
-            new_q = self._tighten(self.q_clamp, self.q_floor, self._q_errs)
-            new_t = self._tighten(self.t_clamp, self.t_floor, self._t_errs)
+            new_q = self._retarget(self.q_clamp, self.q_floor, self.q_ceil,
+                                   self._q_errs)
+            new_t = self._retarget(self.t_clamp, self.t_floor, self.t_ceil,
+                                   self._t_errs)
             if new_q < self.q_clamp or new_t < self.t_clamp:
                 self.n_tightenings += 1
+            if new_q > self.q_clamp or new_t > self.t_clamp:
+                self.n_loosenings += 1
             self.q_clamp, self.t_clamp = new_q, new_t
         return self.q_clamp, self.t_clamp
 

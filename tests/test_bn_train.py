@@ -160,43 +160,86 @@ def test_gauss2_train_mode_forward_and_buffers_vs_torch():
 
 
 def test_quantile_clamp_scheduler_contract():
-    """Tightens only when the error quantile is inside the clamp; never
-    loosens; bounded shrink per check; respects the floor (the round-4
-    saturation fix, ROADMAP round-4 §bugs #1)."""
+    """Tightens only when the error quantile is inside the clamp;
+    bounded shrink per check; respects the floor (the round-4
+    saturation fix, ROADMAP round-4 §bugs #1). Since round 5 the
+    scheduler is BIDIRECTIONAL: it re-opens (bounded by max_grow,
+    capped at the start level) when the quantile escapes above the
+    clamp — see test_quantile_clamp_scheduler_reopens_on_error_runaway."""
     from deepfepe_tpu.train.clamp import QuantileClampScheduler
 
     s = QuantileClampScheduler(
         q0=0.1, t0=0.5, q_floor=0.001, t_floor=0.1,
         quantile=0.7, headroom=1.5, check_every=10, max_shrink=0.5,
     )
-    # Errors far OUTSIDE the clamps: nothing moves.
+    # Errors far OUTSIDE the clamps: nothing moves (start level is the
+    # ceiling — the reference's loosest curriculum stage).
     for _ in range(30):
         qc, tc = s.update(np.full(4, 0.5), np.full(4, 2.0))
     assert (qc, tc) == (0.1, 0.5)
     assert s.n_tightenings == 0
 
     # Errors move well inside: clamps tighten, but never by more than
-    # max_shrink per check and never below the floor, monotonically.
+    # max_shrink per check and never below the floor, monotonically
+    # (while errors stay inside, no loosening ever triggers).
     traj = [(qc, tc)]
     for _ in range(500):
         qc, tc = s.update(np.full(4, 1e-5), np.full(4, 1e-4))
         traj.append((qc, tc))
     assert s.n_tightenings >= 1
+    assert s.n_loosenings == 0
     for (pq, pt), (nq, nt) in zip(traj[:-1], traj[1:]):
-        assert nq <= pq and nt <= pt                    # monotone
+        assert nq <= pq and nt <= pt                    # monotone here
         assert nq >= 0.5 * pq - 1e-12 and nt >= 0.5 * pt - 1e-12  # bounded
     assert qc == pytest.approx(0.001)  # settles on the reference floors
     assert tc == pytest.approx(0.1)
-
-    # Errors grow back ABOVE the clamp: it must never loosen.
-    for _ in range(50):
-        qc2, tc2 = s.update(np.full(4, 0.5), np.full(4, 2.0))
-    assert qc2 == qc and tc2 == tc
 
     # Non-finite errors are ignored, not propagated.
     s2 = QuantileClampScheduler(check_every=1)
     qc3, tc3 = s2.update([np.nan, np.inf], [np.nan, np.inf])
     assert (qc3, tc3) == (0.1, 0.5)
+
+
+def test_quantile_clamp_scheduler_reopens_on_error_runaway():
+    """Regression for the round-5 measured failure
+    (experiments/r5_frozen_qsched): a tighten-only scheduler parked
+    q_clamp at ~0.008 while q errors were ~0; later drift pushed every
+    item outside the clamp, where the clamped loss contributes a
+    CONSTANT — zero gradient, runaway invisible to the training loss
+    (held-out median err_q reached 121 deg while the loss sat at
+    0.4-0.46). The scheduler must re-open the clamp when the measured
+    quantile escapes above it: bounded growth per check, capped at the
+    start level, so the corrective gradient returns as soon as drift
+    starts."""
+    from deepfepe_tpu.train.clamp import QuantileClampScheduler
+
+    s = QuantileClampScheduler(
+        q0=0.1, t0=0.5, q_floor=0.001, t_floor=0.1,
+        quantile=0.7, headroom=1.5, check_every=10,
+        max_shrink=0.5, max_grow=2.0,
+    )
+    # Phase 1: q errors ~0 -> q tightens to its floor (the r5 run).
+    for _ in range(300):
+        qc, tc = s.update(np.full(4, 1e-5), np.full(4, 0.45))
+    assert qc == pytest.approx(0.001)
+
+    # Phase 2: q errors drift to 0.05 — far above the tightened clamp.
+    traj = [qc]
+    for _ in range(300):
+        qc, tc = s.update(np.full(4, 0.05), np.full(4, 0.45))
+        traj.append(qc)
+    assert s.n_loosenings >= 1
+    # Bounded growth per check: never more than doubles.
+    for p, n in zip(traj[:-1], traj[1:]):
+        assert n <= 2.0 * p + 1e-12
+    # Settles at headroom * quantile = 1.5 * 0.05 = 0.075 — the errors
+    # are back inside the clamp (gradient signal restored)...
+    assert qc == pytest.approx(0.075, rel=0.01)
+    assert qc > 0.05
+    # ...and the ceiling is the start level even for huge errors.
+    for _ in range(100):
+        qc, tc = s.update(np.full(4, 10.0), np.full(4, 10.0))
+    assert (qc, tc) == (0.1, 0.5)
 
 
 def test_quantile_clamp_scheduler_settles_above_error_quantile():

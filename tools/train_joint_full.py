@@ -353,7 +353,8 @@ def main():
                      "num_matches": round(float(np.asarray(
                          m.get("num_matches", -1.0))), 1),
                      "skipped_total": skipped,
-                     **({"clamp_tightenings": sched.n_tightenings}
+                     **({"clamp_tightenings": sched.n_tightenings,
+                         "clamp_loosenings": sched.n_loosenings}
                         if sched is not None else {}),
                      "g_deepf": round(float(np.asarray(m["g_deepf_norm"])), 3),
                      "g_sp": round(float(np.asarray(m["g_sp_norm"])), 3),
