@@ -198,9 +198,23 @@ def descriptor_loss(
     neg_margin: float = 0.2,
     lambda_d: float = 250.0,
     cell: int = 8,
+    hard_neg: int = 0,
 ) -> jnp.ndarray:
     """Dense hinge descriptor loss between a warped image pair
-    (SuperPoint eq. 4): cells that correspond under H are positives."""
+    (SuperPoint eq. 4): cells that correspond under H are positives.
+
+    `hard_neg > 0` switches the negative term from the dense mean to the
+    mean over each anchor cell's `hard_neg` HARDEST negatives (highest
+    similarity among non-corresponding cells, both matching directions).
+    Motivation (round 5, experiments/r5_frozen_qsched appendix): at the
+    production point ~55% of mutual-NN matches are CONFIDENT
+    descriptor-aliased pairs from repeated texture — under the dense
+    mean each such negative is diluted by ~Hc*Wc easy ones whose hinge
+    is already zero, so the gradient pressure on exactly the pairs that
+    produce outlier matches is ~1/N of the signal. Top-k mining keeps
+    the loss batched and MXU-friendly (one [B,N,N] similarity + two
+    static top_k calls), static-shaped, and reduces to the dense form
+    at hard_neg=0 (the default, SuperPoint-parity behavior)."""
     B, Hc, Wc, D = desc1.shape
     ys, xs = jnp.meshgrid(
         jnp.arange(Hc, dtype=desc1.dtype), jnp.arange(Wc, dtype=desc1.dtype),
@@ -224,8 +238,22 @@ def descriptor_loss(
     dot = jnp.einsum("bnd,bmd->bnm", d1, d2f)
     pos = jnp.maximum(0.0, pos_margin - dot)
     neg = jnp.maximum(0.0, dot - neg_margin)
-    loss = lambda_d * s * pos + (1.0 - s) * neg
-    return jnp.mean(loss)
+    if hard_neg <= 0:
+        loss = lambda_d * s * pos + (1.0 - s) * neg
+        return jnp.mean(loss)
+    # Hard-negative mining: positives keep the dense weighting; the
+    # negative term averages each anchor's top-k hardest non-positives,
+    # mined along BOTH directions (rows: img1 anchors, cols: img2).
+    k = min(int(hard_neg), s.shape[-1])
+    neg_masked = jnp.where(s > 0, -jnp.inf, neg)  # exclude positives
+    row_top = jax.lax.top_k(neg_masked, k)[0]                  # [B, N, k]
+    col_top = jax.lax.top_k(
+        jnp.swapaxes(neg_masked, -1, -2), k
+    )[0]                                                       # [B, N, k]
+    hard = jnp.concatenate([row_top, col_top], axis=-1)
+    hard = jnp.where(jnp.isfinite(hard), hard, 0.0)  # all-positive rows
+    pos_term = jnp.sum(lambda_d * s * pos) / (jnp.sum(s) + 1e-9)
+    return pos_term + jnp.mean(hard)
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +332,7 @@ def freeze_batch_stats_grads(grads):
 
 def make_joint_sp_train_step(
     net: SuperPointNet, tx: optax.GradientTransformation,
-    desc_weight: float = 1e-4,
+    desc_weight: float = 1e-4, hard_neg: int = 0,
 ):
     """Detector CE on image 1 + dense descriptor loss across the warped pair."""
 
@@ -314,7 +342,8 @@ def make_joint_sp_train_step(
             o1 = net.apply(p, batch["image"][..., None])
             o2 = net.apply(p, batch["image2"][..., None])
             l_det = detector_loss(o1["semi"], batch["cells"])
-            l_desc = descriptor_loss(o1["desc"], o2["desc"], batch["H"])
+            l_desc = descriptor_loss(o1["desc"], o2["desc"], batch["H"],
+                                     hard_neg=hard_neg)
             return l_det + desc_weight * l_desc, (l_det, l_desc)
 
         (loss, (l_det, l_desc)), grads = jax.value_and_grad(
@@ -330,7 +359,7 @@ def make_joint_sp_train_step(
 
 def make_warped_joint_train_step(
     net: SuperPointNet, tx: optax.GradientTransformation,
-    desc_weight: float = 1e-4,
+    desc_weight: float = 1e-4, hard_neg: int = 0,
 ):
     """Joint detector+descriptor step where the second view is produced by
     warping the batch with per-item homographies INSIDE the jitted step
@@ -357,7 +386,8 @@ def make_warped_joint_train_step(
             l_det = detector_loss(o1["semi"], batch["cells"]) + detector_loss(
                 o2["semi"], batch["cells2"]
             )
-            l_desc = descriptor_loss(o1["desc"], o2["desc"], H_mat)
+            l_desc = descriptor_loss(o1["desc"], o2["desc"], H_mat,
+                                     hard_neg=hard_neg)
             return l_det + desc_weight * l_desc, (l_det, l_desc)
 
         (loss, (l_det, l_desc)), grads = jax.value_and_grad(
